@@ -1,0 +1,153 @@
+"""Convolutional building blocks for the 3D UNet (NHWC, TPU-native).
+
+Behavioral spec: diffusers `ResnetBlock2D`, `TemporalConvLayer`,
+`Downsample2D`, `Upsample2D` as imported by the reference
+(reference models/unet_3d_blocks.py:18).  Everything here is channel-last:
+spatial tensors are (B*F, H, W, C); the temporal conv reshapes to
+(B, F, H, W, C) and runs a (3,1,1) 3D conv over frames, exactly the
+ModelScope temporal conv (zero-initialized final layer => identity at init).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ResnetBlock2D(nn.Module):
+    """GroupNorm/SiLU/conv x2 with timestep-bias injection and skip conv.
+
+    Matches diffusers ResnetBlock2D with pre_norm=True,
+    time_embedding_norm='default', non_linearity='silu'.
+    """
+    in_channels: int
+    out_channels: Optional[int] = None
+    temb_channels: int = 512
+    groups: int = 32
+    eps: float = 1e-6
+    output_scale_factor: float = 1.0
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, temb=None, deterministic: bool = True):
+        out_channels = self.out_channels or self.in_channels
+        residual = hidden_states
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(hidden_states)
+        h = nn.silu(h)
+        h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv1")(h)
+
+        if temb is not None:
+            temb_proj = nn.Dense(out_channels, dtype=self.dtype,
+                                 name="time_emb_proj")(nn.silu(temb))
+            h = h + temb_proj[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    dtype=self.dtype, name="conv2")(h)
+
+        if self.in_channels != out_channels:
+            residual = nn.Conv(out_channels, (1, 1), padding="VALID",
+                               dtype=self.dtype, name="conv_shortcut")(residual)
+
+        return (residual + h) / self.output_scale_factor
+
+
+class TemporalConvLayer(nn.Module):
+    """ModelScope temporal conv: 4x [GroupNorm, SiLU, (Dropout), Conv3D(3,1,1)]
+    with a residual connection; conv4 is zero-initialized so the layer is the
+    identity at init (diffusers TemporalConvLayer).
+
+    Input/output: (B*F, H, W, C); `num_frames` unfolds the batch axis.
+    """
+    in_dim: int
+    out_dim: Optional[int] = None
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, num_frames: int = 1,
+                 deterministic: bool = True):
+        out_dim = self.out_dim or self.in_dim
+        bf, height, width, channels = hidden_states.shape
+        batch = bf // num_frames
+        h = hidden_states.reshape(batch, num_frames, height, width, channels)
+        identity = h
+
+        def conv3d(x, out_ch, name, zero_init=False):
+            kernel_init = (nn.initializers.zeros if zero_init
+                           else nn.initializers.lecun_normal())
+            return nn.Conv(out_ch, (3, 1, 1),
+                           padding=((1, 1), (0, 0), (0, 0)),
+                           kernel_init=kernel_init, dtype=self.dtype,
+                           name=name)(x)
+
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
+        h = nn.silu(h)
+        h = conv3d(h, out_dim, "conv1")
+
+        for i, name in ((2, "conv2"), (3, "conv3")):
+            h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype,
+                             name=f"norm{i}")(h)
+            h = nn.silu(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = conv3d(h, self.in_dim, name)
+
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm4")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv3d(h, self.in_dim, "conv4", zero_init=True)
+
+        h = identity + h
+        return h.reshape(bf, height, width, channels)
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv downsample (diffusers Downsample2D, use_conv=True)."""
+    out_channels: int
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        if self.padding == 0:
+            # reference semantics: asymmetric (0,1,0,1) pad when padding=0
+            hidden_states = jnp.pad(
+                hidden_states, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = ((0, 0), (0, 0))
+        else:
+            pad = ((self.padding, self.padding), (self.padding, self.padding))
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, name="conv")(hidden_states)
+
+
+class Upsample2D(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (diffusers Upsample2D, use_conv=True).
+
+    `output_size` overrides the 2x target, mirroring the reference's
+    forward_upsample_size path (reference models/unet_3d_condition.py:361-367).
+    """
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_size=None):
+        b, h, w, c = hidden_states.shape
+        if output_size is None:
+            # exact nearest-neighbour 2x: duplicate rows/cols
+            up = jnp.repeat(jnp.repeat(hidden_states, 2, axis=1), 2, axis=2)
+        else:
+            up = jax.image.resize(hidden_states,
+                                  (b, output_size[0], output_size[1], c),
+                                  method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                       dtype=self.dtype, name="conv")(up)
