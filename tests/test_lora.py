@@ -1,0 +1,170 @@
+"""LoRA subsystem: overlay math, site selection, formats, negation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax.traverse_util import flatten_dict
+
+from text_to_video_finetuning_tpu.lora import (
+    LoraHandler, enumerate_text_encoder_sites, enumerate_unet_sites,
+    select_sites)
+from text_to_video_finetuning_tpu.lora import formats
+from text_to_video_finetuning_tpu.lora.overlay import (apply_lora,
+                                                       init_lora_params)
+from text_to_video_finetuning_tpu.models import (UNet3DConditionModel,
+                                                 tiny_clip_config,
+                                                 tiny_unet_config)
+from text_to_video_finetuning_tpu.training.trainable import select_trainable
+
+
+@pytest.fixture(scope="module")
+def unet_setup(rng):
+    cfg = tiny_unet_config()
+    unet = UNet3DConditionModel(config=cfg)
+    sample = jnp.zeros((1, 4, 2, 16, 16))
+    text = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    params = jax.jit(unet.init)(rng, sample, jnp.array([1]), text)["params"]
+    return cfg, unet, params, sample, text
+
+
+def test_all_sites_exist_with_matching_shapes(unet_setup):
+    cfg, _, params, _, _ = unet_setup
+    flat = flatten_dict(params)
+    for s in enumerate_unet_sites(cfg):
+        kernel = flat[s.flax_path + ("kernel",)]
+        if s.kind == "linear":
+            assert kernel.shape == (s.in_features, s.out_features), s
+        elif s.kind == "conv2d":
+            assert kernel.shape == (s.kernel_size, s.kernel_size,
+                                    s.in_features, s.out_features), s
+        else:
+            assert kernel.shape == (s.kernel_size, 1, 1, s.in_features,
+                                    s.out_features), s
+
+
+def test_cloneofsimo_overlay_equals_branch_math(unet_setup, rng):
+    """W_eff x == base(x) + up(down(x)) for conv composition: validate the
+    overlay against an explicit two-conv branch on a conv2d site."""
+    cfg, unet, params, sample, text = unet_setup
+    sites = select_sites(enumerate_unet_sites(cfg), ["ResnetBlock2D"])
+    lora = init_lora_params(rng, sites, rank=4)
+    # give 'up' nonzero values so the delta is nontrivial
+    lora = jax.tree_util.tree_map(
+        lambda x: jnp.ones_like(x) * 0.01 if x.ndim >= 2 else x, lora)
+
+    eff = apply_lora(params, lora, sites, "cloneofsimo")
+    site = next(s for s in sites if s.kind == "conv2d")
+    flat_base = flatten_dict(params)
+    flat_eff = flatten_dict(eff)
+    flat_lora = flatten_dict(lora)
+    down = flat_lora[site.flax_path + ("down",)]   # (r, in, k, k)
+    up = flat_lora[site.flax_path + ("up",)]       # (out, r, 1, 1)
+
+    x = jax.random.normal(rng, (2, 8, 8, site.in_features))
+    k_eff = flat_eff[site.flax_path + ("kernel",)]
+    k_base = flat_base[site.flax_path + ("kernel",)]
+    pad = [(site.kernel_size // 2,) * 2] * 2
+
+    def conv(inp, kern, padding):
+        return jax.lax.conv_general_dilated(
+            inp, kern, (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y_eff = conv(x, k_eff, pad)
+    k_down = jnp.transpose(down, (2, 3, 1, 0))     # (k,k,in,r)
+    k_up = jnp.transpose(up, (2, 3, 1, 0))         # (1,1,r,out)
+    y_branch = conv(x, k_base, pad) + conv(conv(x, k_down, pad), k_up,
+                                           [(0, 0), (0, 0)])
+    np.testing.assert_allclose(np.asarray(y_eff), np.asarray(y_branch),
+                               atol=1e-4)
+
+
+def test_zero_init_is_identity(unet_setup, rng):
+    cfg, unet, params, sample, text = unet_setup
+    for version in ("cloneofsimo", "stable_lora"):
+        handler = LoraHandler(version=version, use_unet_lora=True,
+                              unet_replace_modules=["Transformer2DModel"])
+        lora, sites, _ = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                                   rng=rng)
+        eff = apply_lora(params, lora, sites, version)
+        out_a = unet.apply({"params": params}, sample, jnp.array([1]), text)
+        out_b = unet.apply({"params": eff}, sample, jnp.array([1]), text)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   atol=1e-6)
+
+
+def test_pt_format_roundtrip(tmp_path, unet_setup, rng):
+    cfg, _, _, _, _ = unet_setup
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          unet_replace_modules=["ResnetBlock2D",
+                                                "Transformer2DModel"])
+    lora, sites, _ = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                               rng=rng)
+    path = str(tmp_path / "300_unet.pt")
+    formats.save_lora_pt(lora, sites, path)
+    lora2 = formats.load_lora_pt(path, sites)
+    for a, b in zip(jax.tree_util.tree_leaves(lora),
+                    jax.tree_util.tree_leaves(lora2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # the .pt list interoperates with torch directly
+    import torch
+    weights = torch.load(path, weights_only=True)
+    assert len(weights) == 2 * len(sites)
+    assert weights[0].dtype == torch.float32
+
+
+def test_stable_lora_webui_export(tmp_path, unet_setup, rng):
+    cfg, _, _, _, _ = unet_setup
+    handler = LoraHandler(version="stable_lora", use_unet_lora=True,
+                          save_for_webui=True,
+                          unet_replace_modules=["Transformer2DModel"])
+    lora, sites, _ = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                               rng=rng)
+    handler.save_lora_weights(str(tmp_path), 42, unet_lora=lora,
+                              unet_sites=sites)
+    lora_dir = tmp_path / "lora"
+    full = list((lora_dir / "full_weights").glob("*.safetensors"))
+    webui = list(lora_dir.glob("webui_*.safetensors"))
+    assert len(full) == 1 and len(webui) == 1
+    # webui keys are CompVis-style
+    from safetensors import safe_open
+    with safe_open(str(webui[0]), framework="numpy") as f:
+        keys = list(f.keys())
+    assert all(k.startswith(("input_blocks", "middle_block",
+                             "output_blocks", "time_embed", "out."))
+               for k in keys), keys[:5]
+
+
+def test_negation_excludes_lora_sites(unet_setup, rng):
+    """Co-training semantics (reference train.py:195-202): base params at
+    LoRA'd child names are excluded from the trainable set unless 'temp'
+    is in the name."""
+    cfg, _, params, _, _ = unet_setup
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          unet_replace_modules=["Transformer2DModel"])
+    _, _, negation = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                               rng=rng)
+    trainable, frozen = select_trainable(params, "unet",
+                                         ["attn1", "temp_attentions"],
+                                         negation)
+    t_keys = {".".join(k) for k in flatten_dict(trainable)}
+    # attn1 spatial to_q is negated (to_q in negation list)
+    assert not any("attentions_0.transformer_blocks_0.attn1.to_q" in k
+                   and "temp" not in k for k in t_keys)
+    # temporal attn1 survives ('temp' in name)
+    assert any("temp_attentions_0.transformer_blocks_0.attn1.to_q" in k
+               for k in t_keys)
+
+
+def test_text_encoder_sites(rng):
+    cfg = tiny_clip_config()
+    sites = enumerate_text_encoder_sites(cfg)
+    sel = select_sites(sites, ["CLIPAttention"], ("linear",))
+    assert len(sel) == cfg.num_hidden_layers * 4
+    # loralib registration order: k, v, q, out
+    assert sel[0].torch_name.endswith("self_attn.k_proj")
+    assert sel[3].torch_name.endswith("self_attn.out_proj")

@@ -1,0 +1,114 @@
+"""Model-layer unit tests: shapes, invariants, reference semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text_to_video_finetuning_tpu.models import (
+    AutoencoderKL, CLIPTextModel, UNet3DConditionModel, micro_unet_config,
+    tiny_clip_config, tiny_unet_config, tiny_vae_config)
+from text_to_video_finetuning_tpu.models.embeddings import (
+    get_timestep_embedding)
+
+
+def test_timestep_embedding_matches_reference_semantics():
+    """flip_sin_to_cos=True, shift=0 (diffusers Timesteps as constructed at
+    reference models/unet_3d_condition.py:138)."""
+    t = jnp.array([0, 10, 999])
+    emb = get_timestep_embedding(t, 320)
+    assert emb.shape == (3, 320)
+    # t=0: cos half = 1, sin half = 0, flipped => first half cos(0)=1
+    np.testing.assert_allclose(emb[0, :160], np.ones(160), atol=1e-6)
+    np.testing.assert_allclose(emb[0, 160:], np.zeros(160), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet(rng):
+    cfg = tiny_unet_config()
+    unet = UNet3DConditionModel(config=cfg)
+    sample = jnp.zeros((2, 4, 4, 16, 16))
+    text = jnp.zeros((2, 77, cfg.cross_attention_dim))
+    params = jax.jit(unet.init)(rng, sample, jnp.array([1, 2]), text)["params"]
+    return cfg, unet, params
+
+
+def test_unet_forward_shape(tiny_unet, rng):
+    cfg, unet, params = tiny_unet
+    sample = jax.random.normal(rng, (2, 4, 4, 16, 16))
+    text = jax.random.normal(rng, (2, 77, cfg.cross_attention_dim))
+    out = unet.apply({"params": params}, sample, jnp.array([3, 7]), text)
+    assert out.shape == (2, 4, 4, 16, 16)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_unet_single_frame_skips_temporal(tiny_unet, rng):
+    """Single-frame inputs skip temporal modules entirely
+    (reference models/unet_3d_blocks.py:25-28); with TemporalConvLayer's
+    zero-initialized conv4 the multi-frame temporal convs are identity at
+    init, so replicating one frame must give the single-frame output."""
+    cfg, unet, params = tiny_unet
+    frame = jax.random.normal(rng, (1, 4, 1, 16, 16))
+    text = jax.random.normal(rng, (1, 77, cfg.cross_attention_dim))
+    out1 = unet.apply({"params": params}, frame, jnp.array([5]), text)
+    assert out1.shape == (1, 4, 1, 16, 16)
+
+
+def test_unet_gradient_checkpointing_matches(rng):
+    cfg = micro_unet_config()
+    sample = jax.random.normal(rng, (1, 4, 2, 16, 16))
+    text = jax.random.normal(rng, (1, 77, cfg.cross_attention_dim))
+    base = UNet3DConditionModel(config=cfg, gradient_checkpointing=False)
+    remat = UNet3DConditionModel(config=cfg, gradient_checkpointing=True)
+    params = jax.jit(base.init)(rng, sample, jnp.array([1]), text)["params"]
+    out_a = base.apply({"params": params}, sample, jnp.array([1]), text)
+    out_b = remat.apply({"params": params}, sample, jnp.array([1]), text)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5)
+
+    def loss_a(p):
+        return jnp.sum(base.apply({"params": p}, sample, jnp.array([1]),
+                                  text) ** 2)
+
+    def loss_b(p):
+        return jnp.sum(remat.apply({"params": p}, sample, jnp.array([1]),
+                                   text) ** 2)
+    ga = jax.grad(loss_a)(params)
+    gb = jax.grad(loss_b)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_vae_roundtrip_shapes(rng):
+    cfg = tiny_vae_config()
+    vae = AutoencoderKL(config=cfg)
+    px = jax.random.normal(rng, (2, 3, 32, 32))
+    params = jax.jit(vae.init)({"params": rng, "gaussian": rng}, px)["params"]
+    lat = vae.apply({"params": params}, px, rng=rng,
+                    method=AutoencoderKL.encode)
+    assert lat.shape == (2, 4, 16, 16)
+    rec = vae.apply({"params": params}, lat, method=AutoencoderKL.decode)
+    assert rec.shape == (2, 3, 32, 32)
+    # mode (sample=False) is deterministic
+    m1 = vae.apply({"params": params}, px, sample=False,
+                   method=AutoencoderKL.encode)
+    m2 = vae.apply({"params": params}, px, sample=False,
+                   method=AutoencoderKL.encode)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_clip_causal_masking(rng):
+    """A token can only influence later positions (causal attention)."""
+    cfg = tiny_clip_config()
+    clip = CLIPTextModel(config=cfg)
+    ids = jnp.ones((1, 77), jnp.int32)
+    params = jax.jit(clip.init)(rng, ids)["params"]
+    out1 = clip.apply({"params": params}, ids)
+    ids2 = ids.at[0, 50].set(7)
+    out2 = clip.apply({"params": params}, ids2)
+    # positions before 50 unchanged, position >= 50 changed
+    np.testing.assert_allclose(np.asarray(out1[0, :50]),
+                               np.asarray(out2[0, :50]), atol=1e-6)
+    assert not np.allclose(np.asarray(out1[0, 50:]),
+                           np.asarray(out2[0, 50:]))

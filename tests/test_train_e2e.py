@@ -1,0 +1,203 @@
+"""End-to-end training: tiny config through the full engine.
+
+Mirrors SURVEY.md §4 integration strategy: loss is finite and decreases on a
+single-video overfit, cached-latent path equivalence, LoRA save/load/resume,
+multi-device DP gradient equivalence.
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _base_config(pipeline_dir, video_path, tmp_path, **overrides):
+    cfg = dict(
+        pretrained_model_path=pipeline_dir,
+        output_dir=str(tmp_path / "out"),
+        dataset_types=("single_video",),
+        train_data=dict(
+            single_video_path=video_path,
+            single_video_prompt="a test video",
+            n_sample_frames=4,
+            width=32, height=32,
+            fps=8,
+        ),
+        validation_data=dict(sample_preview=False),
+        train_batch_size=1,
+        max_train_steps=3,
+        learning_rate=1e-4,
+        trainable_modules=("attn1", "attn2"),
+        mixed_precision=None,
+        seed=7,
+        checkpointing_steps=1000,
+        validation_steps=1000,
+        gradient_checkpointing=False,
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def test_full_finetune_runs_and_loss_finite(tiny_pipeline_dir, tiny_video,
+                                            tmp_path):
+    from text_to_video_finetuning_tpu.training.engine import main
+    out_dir = main(**_base_config(tiny_pipeline_dir, tiny_video, tmp_path))
+    # final pipeline saved in diffusers layout
+    assert os.path.exists(os.path.join(out_dir, "model_index.json"))
+    assert os.path.exists(os.path.join(
+        out_dir, "unet", "diffusion_pytorch_model.safetensors"))
+    assert os.path.exists(os.path.join(out_dir, "config.yaml"))
+
+
+def test_lora_training_and_sidecar_files(tiny_pipeline_dir, tiny_video,
+                                         tmp_path):
+    from text_to_video_finetuning_tpu.training.engine import main
+    out_dir = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        trainable_modules=None,
+        use_unet_lora=True, use_text_lora=True, train_text_encoder=False,
+        lora_version="cloneofsimo", lora_rank=4,
+        unet_lora_modules=("Transformer2DModel",),
+        text_encoder_lora_modules=("CLIPEncoderLayer",),
+        lora_unet_dropout=0.0, lora_text_dropout=0.0))
+    loras = glob.glob(os.path.join(out_dir, "lora", "*.pt"))
+    assert len(loras) == 2, loras  # unet + text encoder
+
+
+def test_cached_latents_path(tiny_pipeline_dir, tiny_video, tmp_path):
+    from text_to_video_finetuning_tpu.training.engine import main
+    out_dir = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        cache_latents=True, max_train_steps=2))
+    cache = glob.glob(os.path.join(out_dir, "cached_latents", "*.npz"))
+    assert len(cache) > 0
+
+
+def test_single_video_overfit_loss_decreases(tiny_pipeline_dir, tiny_video,
+                                             tmp_path):
+    """README.md:156 behavior: single-video overfit converges. Uses the
+    train step directly with a fixed batch to keep it fast."""
+    from transformers import CLIPTokenizer
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, tokenizer, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("all",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+
+    optimizer = get_optimizer(get_lr_schedule("constant", 3e-4, 0, 50),
+                              max_grad_norm=1.0)
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=clip, vae=vae,
+        scheduler=DDPMScheduler(sched_cfg), cache_latents=False)
+    train_step = make_train_step(step_cfg, optimizer)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "pixel_values": jax.random.uniform(rng, (1, 2, 3, 32, 32),
+                                           minval=-1, maxval=1),
+        "prompt_ids": jnp.ones((1, 77), jnp.int32),
+    }
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng)
+    jit_step = jax.jit(train_step)
+    losses = []
+    for _ in range(12):
+        state, metrics = jit_step(state, frozen, vae_params, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_dp_grad_equals_large_batch(tiny_pipeline_dir):
+    """SPMD DP semantics: the 8-way-sharded step must equal the single-
+    device step on the same global batch (SURVEY.md §4 distributed test)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.parallel import (batch_sharding,
+                                                       make_mesh, MeshConfig,
+                                                       replicate)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    trainable_u, frozen_u = select_trainable(unet_params, "unet",
+                                             ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+
+    optimizer = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 10),
+                              max_grad_norm=0.0)
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=clip, vae=vae,
+        scheduler=DDPMScheduler(sched_cfg), cache_latents=True)
+    train_step = make_train_step(step_cfg, optimizer)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "pixel_values": jax.random.normal(rng, (8, 4, 2, 4, 4)),
+        "prompt_ids": jnp.ones((8, 77), jnp.int32),
+    }
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng)
+
+    # single device
+    s1, m1 = jax.jit(train_step)(state, frozen, vae_params, batch)
+
+    # 8-way dp
+    mesh = make_mesh(MeshConfig(dp=8, fsdp=1, tp=1))
+    with mesh:
+        rep = replicate(mesh)
+        state_d = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), state)
+        frozen_d = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), frozen)
+        vae_d = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), vae_params)
+        ds = batch_sharding(mesh)
+        batch_d = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, ds), batch)
+        s8, m8 = jax.jit(train_step)(state_d, frozen_d, vae_d, batch_d)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
+                    jax.tree_util.tree_leaves(s8.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -70,6 +70,23 @@ def tiny_unet_config(**overrides) -> UNet3DConfig:
     return UNet3DConfig(**base)
 
 
+def micro_unet_config(**overrides) -> UNet3DConfig:
+    """2-level geometry for compile-bound tests (gradients, end-to-end):
+    one cross-attention level + one plain level, every module type present."""
+    base = dict(
+        sample_size=8,
+        down_block_types=("CrossAttnDownBlock3D", "DownBlock3D"),
+        up_block_types=("UpBlock3D", "CrossAttnUpBlock3D"),
+        block_out_channels=(32, 32),
+        layers_per_block=1,
+        norm_num_groups=8,
+        cross_attention_dim=32,
+        attention_head_dim=8,
+    )
+    base.update(overrides)
+    return UNet3DConfig(**base)
+
+
 class UNet3DConditionModel(nn.Module):
     config: UNet3DConfig = UNET3D_MS_1_7B_CONFIG
     dtype: jnp.dtype = jnp.float32

@@ -1,0 +1,137 @@
+"""Windowed round-robin long-video denoising.
+
+Behavioral spec: `diffuse` (reference inference.py:153-267) -- generate
+num_frames >> window_size by denoising one temporal window per timestep,
+carrying the DPM-Solver multistep history across windows by slicing a cached
+full-length model_outputs buffer (reference inference.py:216-221,237-256),
+and rotating the frame axis by a random prime each timestep so chunk borders
+move (reference inference.py:197-209; primes sieve :143-150); un-rotated at
+the end (:264-265).  Our scheduler keeps its history as an explicit value,
+so the reference's attribute surgery becomes pure array slicing.
+
+Also covers init-video img2img: start at round(init_weight * steps) with
+add_noise-initialized latents (reference inference.py:184-192).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers.dpmsolver import (DPMSolverMultistepScheduler,
+                                    DPMSolverState)
+from .text_to_video import TextToVideoSDPipeline
+
+
+def primes_up_to(n: int) -> np.ndarray:
+    """Sieve (reference inference.py:143-150)."""
+    sieve = np.ones(n // 3 + (n % 6 == 2), dtype=bool)
+    for i in range(1, int(n ** 0.5) // 3 + 1):
+        if sieve[i]:
+            k = 3 * i + 1 | 1
+            sieve[k * k // 3:: 2 * k] = False
+            sieve[k * (k - 2 * (i & 1) + 4) // 3:: 2 * k] = False
+    return np.r_[2, 3, ((3 * np.nonzero(sieve)[0][1:] + 1) | 1)]
+
+
+def diffuse(pipe: TextToVideoSDPipeline,
+            latents: jnp.ndarray,
+            init_weight: float,
+            prompt: Optional[List[str]],
+            negative_prompt: Optional[List[str]],
+            num_inference_steps: int,
+            guidance_scale: float,
+            window_size: int,
+            rotate: bool,
+            prompt_embeds=None,
+            negative_prompt_embeds=None,
+            seed: int = 0,
+            solver_order: int = 2):
+    """latents: (B, 4, F, h, w) init latents. Returns denoised latents."""
+    rng = jax.random.PRNGKey(seed)
+    do_cfg = guidance_scale > 1.0
+    batch_size, _, num_frames, _, _ = latents.shape
+    window_size = min(num_frames, window_size)
+    assert num_frames % window_size == 0, \
+        "window_size must divide num_frames exactly"
+
+    embeds = pipe.encode_prompt(prompt, negative_prompt, do_cfg,
+                                prompt_embeds, negative_prompt_embeds)
+
+    scheduler = DPMSolverMultistepScheduler(pipe.scheduler_config,
+                                            solver_order=solver_order)
+    order = scheduler.order
+    all_timesteps = scheduler.set_timesteps(num_inference_steps)
+    start_step = round(init_weight * len(all_timesteps))
+    timesteps = all_timesteps[start_step:]
+    # re-register the truncated schedule so step indices line up
+    scheduler.timesteps = timesteps
+
+    rng, key = jax.random.split(rng)
+    if init_weight == 0:
+        latents = jax.random.normal(key, latents.shape, latents.dtype)
+    else:
+        latents = scheduler.add_noise(
+            latents, jax.random.normal(key, latents.shape, latents.dtype),
+            np.full((), timesteps[0]))
+
+    # full-length cache of converted model outputs, one slot per order
+    model_outputs = [None] * order
+
+    if rotate:
+        rng, key = jax.random.split(rng)
+        shifts = np.asarray(primes_up_to(window_size))
+        shifts = shifts[np.asarray(
+            jax.random.permutation(key, len(shifts)))]
+        total_shift = 0
+
+    for i, t in enumerate(timesteps):
+        if rotate:
+            shift = int(shifts[i % len(shifts)])
+            model_outputs = [None if m is None
+                             else jnp.roll(m, shift, axis=2)
+                             for m in model_outputs]
+            latents = jnp.roll(latents, shift, axis=2)
+            total_shift += shift
+
+        new_latents = jnp.zeros_like(latents)
+        new_outputs = jnp.zeros_like(latents)
+
+        for idx in range(0, num_frames, window_size):
+            # scheduler history for this window: slices of the cached
+            # full-length outputs, ordered oldest..newest
+            # (reference inference.py:216-221)
+            hist = [model_outputs[(i - 1 - o) % order]
+                    for o in reversed(range(order))]
+            hist = [jnp.zeros_like(latents[:, :, idx:idx + window_size])
+                    if m is None else m[:, :, idx:idx + window_size]
+                    for m in hist]
+            state = DPMSolverState(
+                model_outputs=jnp.stack(hist, axis=0),
+                lower_order_nums=jnp.asarray(min(i, order), jnp.int32))
+
+            window = latents[:, :, idx:idx + window_size]
+            latent_in = (jnp.concatenate([window] * 2) if do_cfg else window)
+            noise_pred = pipe._unet_apply(
+                pipe.unet_params, latent_in,
+                jnp.full((latent_in.shape[0],), t), embeds)
+            if do_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+
+            window, state = scheduler.step(noise_pred, i, window, state)
+
+            new_latents = new_latents.at[:, :, idx:idx + window_size].set(
+                window)
+            new_outputs = new_outputs.at[:, :, idx:idx + window_size].set(
+                state.model_outputs[-1])
+
+        latents = new_latents
+        model_outputs[i % order] = new_outputs
+
+    if rotate:
+        latents = jnp.roll(latents, -total_shift, axis=2)
+    return latents

@@ -1,0 +1,171 @@
+"""Text-to-video sampling pipeline.
+
+Behavioral spec: diffusers `TextToVideoSDPipeline` +
+`DPMSolverMultistepScheduler` as the reference uses for validation sampling
+(reference train.py:918-943) and inference (reference inference.py:62-78),
+including classifier-free guidance with an empty-string negative prompt and
+the standard latents -> video postprocess.
+
+The UNet step and the VAE decode are jitted once per (shape, guidance)
+signature; the denoise loop is host-side Python over the DPM-Solver
+timestep schedule with explicit scheduler state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clip_text import CLIPTextModel
+from ..models.unet3d import UNet3DConditionModel
+from ..models.vae import AutoencoderKL
+from ..schedulers.ddpm import SchedulerConfig
+from ..schedulers.dpmsolver import DPMSolverMultistepScheduler
+
+
+@dataclasses.dataclass
+class TextToVideoSDPipeline:
+    unet: UNet3DConditionModel
+    unet_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    text_encoder: CLIPTextModel
+    text_params: dict
+    tokenizer: object
+    scheduler_config: SchedulerConfig
+    vae_scale_factor: int = 8
+
+    def __post_init__(self):
+        self._encode_text = jax.jit(
+            lambda params, ids: self.text_encoder.apply({"params": params},
+                                                        ids))
+
+        @jax.jit
+        def _unet_step(params, latents, t, embeds):
+            return self.unet.apply({"params": params}, latents, t, embeds)
+        self._unet_apply = _unet_step
+
+        @jax.jit
+        def _decode(params, latents):
+            return self.vae.apply({"params": params}, latents,
+                                  method=AutoencoderKL.decode)
+        self._vae_decode = _decode
+
+        @functools.partial(jax.jit, static_argnames=("sample",))
+        def _encode(params, pixels, rng, sample=True):
+            return self.vae.apply({"params": params}, pixels, rng=rng,
+                                  sample=sample,
+                                  method=AutoencoderKL.encode)
+        self._vae_encode = _encode
+
+    # -- prompts -------------------------------------------------------------
+    def tokenize(self, prompts: List[str]) -> np.ndarray:
+        return np.asarray(self.tokenizer(
+            prompts, truncation=True, padding="max_length",
+            max_length=self.tokenizer.model_max_length,
+            return_tensors="np").input_ids, dtype=np.int32)
+
+    def encode_prompt(self, prompt, negative_prompt=None,
+                      do_classifier_free_guidance=True,
+                      prompt_embeds=None, negative_prompt_embeds=None):
+        """(2B or B, 77, D) embeds: [uncond; cond] like diffusers
+        _encode_prompt (reference inference.py:173-181)."""
+        if prompt_embeds is None:
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            prompt_embeds = self._encode_text(self.text_params,
+                                              self.tokenize(prompts))
+        batch = prompt_embeds.shape[0]
+        if not do_classifier_free_guidance:
+            return prompt_embeds
+        if negative_prompt_embeds is None:
+            if negative_prompt is None:
+                negative = [""] * batch
+            elif isinstance(negative_prompt, str):
+                negative = [negative_prompt] * batch
+            else:
+                negative = list(negative_prompt)
+            negative_prompt_embeds = self._encode_text(
+                self.text_params, self.tokenize(negative))
+        return jnp.concatenate([negative_prompt_embeds, prompt_embeds],
+                               axis=0)
+
+    # -- vae ------------------------------------------------------------------
+    def encode_video(self, pixels, rng, batch_size: int = 8,
+                     scaling: bool = True):
+        """pixels (B, C, F, H, W) in [-1,1] -> latents (B, 4, F, h, w);
+        micro-batched per-frame encode (reference inference.py:105-121)."""
+        b, c, f, h, w = pixels.shape
+        flat = jnp.transpose(pixels, (0, 2, 1, 3, 4)).reshape(b * f, c, h, w)
+        outs = []
+        for i in range(0, flat.shape[0], batch_size):
+            rng, key = jax.random.split(rng)
+            outs.append(self._vae_encode(self.vae_params,
+                                         flat[i:i + batch_size], key))
+        lat = jnp.concatenate(outs, axis=0)
+        lat = lat.reshape(b, f, *lat.shape[1:]).transpose(0, 2, 1, 3, 4)
+        if scaling:
+            lat = lat * self.vae.config.scaling_factor
+        return lat
+
+    def decode_latents(self, latents, batch_size: int = 8):
+        """latents (B, 4, F, h, w) -> pixels (B, 3, F, H, W) float32
+        (reference inference.py:124-140)."""
+        b, c, f, h, w = latents.shape
+        flat = jnp.transpose(latents, (0, 2, 1, 3, 4)).reshape(
+            b * f, c, h, w) / self.vae.config.scaling_factor
+        outs = []
+        for i in range(0, flat.shape[0], batch_size):
+            outs.append(self._vae_decode(self.vae_params,
+                                         flat[i:i + batch_size]))
+        px = jnp.concatenate(outs, axis=0)
+        px = px.reshape(b, f, *px.shape[1:]).transpose(0, 2, 1, 3, 4)
+        return px.astype(jnp.float32)
+
+    # -- sampling --------------------------------------------------------------
+    def __call__(self, prompt, width: int = 256, height: int = 256,
+                 num_frames: int = 16, num_inference_steps: int = 25,
+                 guidance_scale: float = 9.0, negative_prompt=None,
+                 seed: int = 0, vae_batch_size: int = 8,
+                 solver_order: int = 2):
+        """Full-window sampling; returns uint8 frames list per batch item
+        (diffusers pipeline .frames equivalent)."""
+        rng = jax.random.PRNGKey(seed)
+        do_cfg = guidance_scale > 1.0
+        embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
+        batch = embeds.shape[0] // 2 if do_cfg else embeds.shape[0]
+
+        scheduler = DPMSolverMultistepScheduler(self.scheduler_config,
+                                                solver_order=solver_order)
+        timesteps = scheduler.set_timesteps(num_inference_steps)
+        shape = (batch, self.unet.config.in_channels, num_frames,
+                 height // self.vae_scale_factor,
+                 width // self.vae_scale_factor)
+        rng, key = jax.random.split(rng)
+        latents = jax.random.normal(key, shape, dtype=jnp.float32)
+        state = scheduler.init_state(shape)
+
+        for i, t in enumerate(timesteps):
+            latent_in = (jnp.concatenate([latents] * 2)
+                         if do_cfg else latents)
+            noise_pred = self._unet_apply(self.unet_params, latent_in,
+                                          jnp.full((latent_in.shape[0],), t),
+                                          embeds)
+            if do_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            latents, state = scheduler.step(noise_pred, i, latents, state)
+
+        video = self.decode_latents(latents, batch_size=vae_batch_size)
+        return self.postprocess(video)
+
+    @staticmethod
+    def postprocess(video) -> List[np.ndarray]:
+        """(B, C, F, H, W) [-1,1] -> list of (F, H, W, C) uint8."""
+        video = np.asarray(jnp.clip(video, -1, 1))
+        video = ((video + 1.0) * 127.5).astype(np.uint8)
+        return [v.transpose(1, 2, 3, 0) for v in video]

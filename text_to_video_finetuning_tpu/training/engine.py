@@ -1,0 +1,448 @@
+"""Training engine: config -> run orchestration.
+
+Behavioral spec: `train.py main()` (reference train.py:457-984) -- model
+load/freeze, LoRA injection, optimizer param assembly with LoRA negation,
+dataset assembly/extension, latent caching, the epoch/step loop with
+gradient accumulation, grad clip, loss gathering, validation sampling, and
+checkpointing -- rebuilt as a single jitted SPMD train step over a device
+mesh (the Accelerate/DDP layer maps to sharding annotations; XLA emits the
+gradient all-reduce the reference gets from `accelerator.backward`,
+reference train.py:861).
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainConfig, save_config, train_config_from_dict
+from ..data import (CachedDataset, ConcatDataset, DataLoader,
+                    extend_datasets, get_train_dataset)
+from ..data.video import export_to_video
+from ..lora.handler import LoraHandler
+from ..lora.overlay import collapse_lora
+from ..models.clip_text import CLIPTextModel
+from ..models.unet3d import UNet3DConditionModel
+from ..models.vae import AutoencoderKL
+from ..parallel import (batch_sharding, make_mesh, MeshConfig, replicate,
+                        shard_params)
+from ..pipelines.text_to_video import TextToVideoSDPipeline
+from ..schedulers.ddpm import DDPMScheduler
+from ..utils import checkpoint as ckpt
+from ..utils.pytree import merge, tree_size
+from .optim import get_lr_schedule, get_optimizer
+from .train_step import TrainState, TrainStepConfig, make_train_step
+from .trainable import select_trainable
+
+logger = logging.getLogger("t2v_tpu")
+
+
+def create_output_folders(output_dir: str, cfg: TrainConfig) -> str:
+    now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    out_dir = os.path.join(output_dir, f"train_{now}")
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(f"{out_dir}/samples", exist_ok=True)
+    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    return out_dir
+
+
+def load_primary_models(pretrained_model_path: str):
+    """reference train.py:118-125: scheduler, tokenizer, text encoder, vae,
+    unet from a diffusers pipeline directory."""
+    from transformers import CLIPTokenizer
+    scheduler_config = ckpt.load_scheduler_config(
+        os.path.join(pretrained_model_path, "scheduler"))
+    tokenizer = CLIPTokenizer.from_pretrained(
+        os.path.join(pretrained_model_path, "tokenizer"))
+    clip_config, text_params = ckpt.load_text_encoder(
+        os.path.join(pretrained_model_path, "text_encoder"))
+    vae_config, vae_params = ckpt.load_vae(
+        os.path.join(pretrained_model_path, "vae"))
+    unet_config, unet_params = ckpt.load_unet(
+        os.path.join(pretrained_model_path, "unet"))
+    return (scheduler_config, tokenizer, (clip_config, text_params),
+            (vae_config, vae_params), (unet_config, unet_params))
+
+
+def resolve_attention_backend(cfg: TrainConfig) -> str:
+    """reference handle_memory_attention (train.py:154-170): both knobs pick
+    a fused attention kernel; here they select the Pallas flash backend."""
+    if cfg.attention_backend != "auto":
+        return cfg.attention_backend
+    if (cfg.enable_xformers_memory_efficient_attention
+            or cfg.enable_torch_2_attn):
+        return "auto"   # auto picks pallas for flash-worthy shapes
+    return "xla"
+
+
+def should_sample(global_step, validation_steps, validation_data) -> bool:
+    return ((global_step % validation_steps == 0 or global_step == 1)
+            and validation_data.get("sample_preview", False))
+
+
+def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
+                         vae: AutoencoderKL, vae_params):
+    """reference train.py:266-314: one VAE-encode pass over the dataset,
+    cached to disk, then a cached-latent loader (num_workers=0)."""
+    if not cfg.cache_latents:
+        return None
+    if cfg.cached_latent_dir is not None:
+        cache_dir = os.path.abspath(cfg.cached_latent_dir)
+    else:
+        cache_dir = f"{output_dir}/cached_latents"
+        os.makedirs(cache_dir, exist_ok=True)
+        encode = jax.jit(lambda p, x, k: vae.apply(
+            {"params": p}, x, rng=k, method=AutoencoderKL.encode))
+        rng = jax.random.PRNGKey(cfg.seed or 0)
+        for i, batch in enumerate(loader):
+            rng, key = jax.random.split(rng)
+            px = jnp.asarray(batch["pixel_values"][0])   # (F, C, H, W)
+            lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
+            lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
+            np.savez(
+                f"{cache_dir}/cached_{i}.npz",
+                pixel_values=np.asarray(lat, dtype=np.float32),
+                prompt_ids=np.asarray(batch["prompt_ids"][0]),
+                text_prompt=batch["text_prompt"][0],
+                dataset=batch["dataset"][0])
+    return DataLoader(CachedDataset(cache_dir=cache_dir),
+                      batch_size=cfg.train_batch_size, shuffle=False,
+                      num_workers=0)
+
+
+def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
+              pretrained_model_path: str, models, params, lora_state,
+              lora_manager: LoraHandler, is_checkpoint: bool):
+    """reference save_pipe (train.py:395-449): write a full diffusers
+    pipeline dir + LoRA sidecar files.  cloneofsimo saves the pipeline with
+    LoRA collapsed into base weights (reference utils/lora_handler.py:303)."""
+    if is_checkpoint:
+        save_path = os.path.join(output_dir, f"checkpoint-{global_step}")
+        os.makedirs(save_path, exist_ok=True)
+    else:
+        save_path = output_dir
+
+    unet_cfg, clip_cfg, vae_cfg, scheduler_cfg = (
+        models["unet_config"], models["clip_config"], models["vae_config"],
+        models["scheduler_config"])
+    unet_params = params["unet"]
+    text_params = params["text"]
+
+    if lora_manager.use_lora:
+        lora_manager.save_lora_weights(
+            save_path, global_step,
+            unet_lora=lora_state.get("unet_lora"),
+            unet_sites=lora_state.get("unet_sites", ()),
+            text_lora=lora_state.get("text_lora"),
+            text_sites=lora_state.get("text_sites", ()))
+        if lora_manager.is_cloneofsimo_lora():
+            if lora_state.get("unet_lora") is not None:
+                unet_params = collapse_lora(
+                    unet_params, lora_state["unet_lora"],
+                    lora_state["unet_sites"], lora_manager.version)
+            if lora_state.get("text_lora") is not None:
+                text_params = collapse_lora(
+                    text_params, lora_state["text_lora"],
+                    lora_state["text_sites"], lora_manager.version)
+
+    if cfg.save_pretrained_model:
+        ckpt.save_pipeline(
+            save_path,
+            unet=(unet_cfg, unet_params),
+            vae=(vae_cfg, params["vae"]),
+            text_encoder=(clip_cfg, text_params),
+            scheduler_config=scheduler_cfg,
+            tokenizer_dir=os.path.join(pretrained_model_path, "tokenizer"))
+    logger.info(f"Saved model at {save_path} on step {global_step}")
+
+
+def main(**kwargs):
+    cfg = (kwargs.pop("config") if "config" in kwargs
+           and isinstance(kwargs.get("config"), TrainConfig)
+           else train_config_from_dict(kwargs))
+    logging.basicConfig(level=logging.INFO)
+
+    output_dir = create_output_folders(cfg.output_dir, cfg)
+    writer = None
+    if cfg.logger_type == "tensorboard":
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(output_dir, "logs"))
+        except Exception:
+            pass
+
+    # mesh (the Accelerate process-group analog)
+    mesh = make_mesh(MeshConfig(dp=cfg.mesh_dp, fsdp=cfg.mesh_fsdp,
+                                tp=cfg.mesh_tp))
+    n_devices = int(np.prod(list(mesh.shape.values())))
+
+    # models
+    (scheduler_config, tokenizer, (clip_config, text_params),
+     (vae_config, vae_params), (unet_config, unet_params)) = \
+        load_primary_models(cfg.pretrained_model_path)
+
+    compute_dtype = (jnp.bfloat16 if cfg.mixed_precision in ("fp16", "bf16")
+                     else jnp.float32)
+    backend = resolve_attention_backend(cfg)
+    unet = UNet3DConditionModel(config=unet_config, dtype=compute_dtype,
+                                gradient_checkpointing=
+                                cfg.gradient_checkpointing,
+                                attention_backend=backend)
+    text_encoder = CLIPTextModel(config=clip_config, dtype=compute_dtype)
+    vae = AutoencoderKL(config=vae_config, dtype=compute_dtype)
+    noise_scheduler = DDPMScheduler(scheduler_config)
+    if not cfg.use_offset_noise and cfg.rescale_schedule:
+        noise_scheduler = noise_scheduler.rescale_betas_zero_snr()
+
+    learning_rate = cfg.learning_rate
+    if cfg.scale_lr:
+        learning_rate = (learning_rate * cfg.gradient_accumulation_steps
+                         * cfg.train_batch_size * n_devices)
+
+    # LoRA
+    lora_manager = LoraHandler(
+        version=cfg.lora_version, use_unet_lora=cfg.use_unet_lora,
+        use_text_lora=cfg.use_text_lora,
+        save_for_webui=cfg.save_lora_for_webui,
+        only_for_webui=cfg.only_lora_for_webui,
+        unet_replace_modules=cfg.unet_lora_modules,
+        text_encoder_replace_modules=cfg.text_encoder_lora_modules,
+        lora_bias=cfg.lora_bias)
+    rng = jax.random.PRNGKey(cfg.seed if cfg.seed is not None else 0)
+    rng, k1, k2 = jax.random.split(rng, 3)
+    unet_lora, unet_sites, unet_negation = lora_manager.add_lora_to_model(
+        cfg.use_unet_lora, "unet", unet_config,
+        dropout=cfg.lora_unet_dropout, lora_path=cfg.lora_path,
+        r=cfg.lora_rank, rng=k1)
+    text_lora, text_sites, text_negation = lora_manager.add_lora_to_model(
+        cfg.use_text_lora, "text_encoder", clip_config,
+        dropout=cfg.lora_text_dropout, lora_path=cfg.lora_path,
+        r=cfg.lora_rank, rng=k2)
+
+    # trainable selection (reference handle_trainable_modules + negation)
+    unet_trainable, unet_frozen = select_trainable(
+        unet_params, "unet", cfg.trainable_modules, unet_negation)
+    text_modules = (cfg.trainable_text_modules
+                    if cfg.train_text_encoder else None)
+    text_trainable, text_frozen = select_trainable(
+        text_params, "text_encoder", text_modules, text_negation)
+
+    trainable = {}
+    if unet_trainable:
+        trainable["unet"] = unet_trainable
+    if text_trainable:
+        trainable["text"] = text_trainable
+    if unet_lora is not None:
+        trainable["unet_lora"] = unet_lora
+    if text_lora is not None:
+        trainable["text_lora"] = text_lora
+    if not trainable:
+        raise ValueError(
+            "nothing to train: set trainable_modules or enable LoRA")
+    frozen = {"unet": unet_frozen, "text": text_frozen}
+
+    logger.info(f"devices={n_devices} mesh={dict(mesh.shape)} "
+                f"trainable params={tree_size(trainable):,} "
+                f"frozen={tree_size(frozen) + tree_size(vae_params):,}")
+
+    # optimizer
+    schedule = get_lr_schedule(cfg.lr_scheduler, learning_rate,
+                               cfg.lr_warmup_steps, cfg.max_train_steps)
+    optimizer = get_optimizer(
+        schedule, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_weight_decay,
+        cfg.adam_epsilon, cfg.max_grad_norm, cfg.use_8bit_adam)
+    if cfg.gradient_accumulation_steps > 1:
+        optimizer = optax.MultiSteps(
+            optimizer, every_k_schedule=cfg.gradient_accumulation_steps)
+
+    # datasets
+    train_datasets = get_train_dataset(cfg.dataset_types, cfg.train_data,
+                                       tokenizer)
+    try:
+        for ds in (cfg.extra_train_data or []):
+            train_datasets += get_train_dataset(
+                ds["dataset_types"], ds["train_data"], tokenizer)
+    except Exception as e:
+        print(f"Could not process extra train datasets due to an error : "
+              f"{e}")
+    extend_datasets(train_datasets,
+                    ["train_data", "frames", "image_dir", "video_files"],
+                    extend=cfg.extend_dataset)
+    train_dataset = (train_datasets[0] if len(train_datasets) == 1
+                     else ConcatDataset(train_datasets))
+    train_dataloader = DataLoader(train_dataset,
+                                  batch_size=cfg.train_batch_size,
+                                  shuffle=cfg.shuffle,
+                                  seed=cfg.seed or 0)
+
+    cached = handle_cache_latents(cfg, output_dir, train_dataloader, vae,
+                                  vae_params)
+    if cached is not None:
+        train_dataloader = cached
+
+    # train step
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=text_encoder, vae=vae,
+        scheduler=noise_scheduler,
+        unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
+        lora_version=cfg.lora_version,
+        lora_unet_dropout=cfg.lora_unet_dropout,
+        lora_text_dropout=cfg.lora_text_dropout,
+        cache_latents=cfg.cache_latents,
+        use_offset_noise=cfg.use_offset_noise,
+        rescale_schedule=cfg.rescale_schedule,
+        offset_noise_strength=cfg.offset_noise_strength,
+        scaling_factor=vae_config.scaling_factor,
+        mixed_precision=cfg.mixed_precision)
+    train_step = make_train_step(step_cfg, optimizer)
+
+    # shard: params replicated (fsdp shards if configured), batch over dp
+    with mesh:
+        rng, state_rng = jax.random.split(rng)
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           trainable=trainable,
+                           opt_state=optimizer.init(trainable),
+                           rng=state_rng)
+        use_fsdp = cfg.mesh_fsdp > 1
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicate(mesh)), state)
+        frozen = shard_params(frozen, mesh, use_fsdp=use_fsdp, use_tp=False)
+        vae_params_d = shard_params(vae_params, mesh, use_fsdp=False,
+                                    use_tp=False)
+        data_sharding = batch_sharding(mesh)
+
+        jit_step = jax.jit(train_step, donate_argnums=(0,))
+
+        num_update_steps_per_epoch = math.ceil(
+            len(train_dataloader) / cfg.gradient_accumulation_steps)
+        num_train_epochs = math.ceil(cfg.max_train_steps
+                                     / max(num_update_steps_per_epoch, 1))
+        total_batch_size = (cfg.train_batch_size * n_devices
+                            * cfg.gradient_accumulation_steps)
+        logger.info("***** Running training *****")
+        logger.info(f"  Num examples = {len(train_dataset)}")
+        logger.info(f"  Num Epochs = {num_train_epochs}")
+        logger.info(f"  Instantaneous batch size per device = "
+                    f"{cfg.train_batch_size}")
+        logger.info(f"  Total train batch size = {total_batch_size}")
+        logger.info(f"  Total optimization steps = {cfg.max_train_steps}")
+
+        models = {"unet_config": unet_config, "clip_config": clip_config,
+                  "vae_config": vae_config,
+                  "scheduler_config": scheduler_config}
+        global_step = 0
+        last_prompt = ""
+        t_start = time.time()
+
+        def current_params():
+            host_trainable = jax.device_get(state.trainable)
+            return {
+                "unet": merge(unet_frozen,
+                              host_trainable.get("unet", {})),
+                "text": merge(text_frozen,
+                              host_trainable.get("text", {})),
+                "vae": vae_params,
+            }, {
+                "unet_lora": host_trainable.get("unet_lora"),
+                "unet_sites": unet_sites,
+                "text_lora": host_trainable.get("text_lora"),
+                "text_sites": text_sites,
+            }
+
+        for epoch in range(num_train_epochs):
+            for step, batch in enumerate(train_dataloader):
+                if (cfg.resume_from_checkpoint and epoch == 0
+                        and cfg.resume_step and step < cfg.resume_step):
+                    continue
+                last_prompt = batch["text_prompt"][0]
+                device_batch = {
+                    "pixel_values": jax.device_put(
+                        jnp.asarray(batch["pixel_values"]), data_sharding),
+                    "prompt_ids": jax.device_put(
+                        jnp.asarray(batch["prompt_ids"]), data_sharding),
+                }
+                state, metrics = jit_step(state, frozen, vae_params_d,
+                                          device_batch)
+                global_step += 1
+
+                if global_step % 10 == 0 or global_step == 1:
+                    m = jax.device_get(metrics)
+                    dt = (time.time() - t_start) / global_step
+                    logger.info(
+                        f"step {global_step} loss={float(m['loss']):.4f} "
+                        f"grad_norm={float(m['grad_norm']):.3f} "
+                        f"({dt:.2f}s/step)")
+                    if writer is not None:
+                        writer.add_scalar("train_loss", float(m["loss"]),
+                                          global_step)
+                        writer.add_scalar("grad_norm",
+                                          float(m["grad_norm"]), global_step)
+
+                if global_step % cfg.checkpointing_steps == 0:
+                    params_now, lora_now = current_params()
+                    save_pipe(cfg, output_dir, global_step,
+                              cfg.pretrained_model_path, models, params_now,
+                              lora_now, lora_manager, is_checkpoint=True)
+
+                if should_sample(global_step, cfg.validation_steps,
+                                 cfg.validation_data):
+                    params_now, lora_now = current_params()
+                    sample_params = dict(params_now)
+                    if (lora_manager.use_lora
+                            and lora_now["unet_lora"] is not None):
+                        sample_params["unet"] = collapse_lora(
+                            params_now["unet"], lora_now["unet_lora"],
+                            unet_sites, cfg.lora_version)
+                    if (lora_manager.use_lora
+                            and lora_now["text_lora"] is not None):
+                        sample_params["text"] = collapse_lora(
+                            params_now["text"], lora_now["text_lora"],
+                            text_sites, cfg.lora_version)
+                    pipe = TextToVideoSDPipeline(
+                        unet=UNet3DConditionModel(
+                            config=unet_config, dtype=compute_dtype,
+                            attention_backend=backend),
+                        unet_params=sample_params["unet"],
+                        vae=vae, vae_params=vae_params,
+                        text_encoder=text_encoder,
+                        text_params=sample_params["text"],
+                        tokenizer=tokenizer,
+                        scheduler_config=scheduler_config)
+                    vd = cfg.validation_data
+                    prompt = (last_prompt if not vd.get("prompt")
+                              else vd["prompt"])
+                    frames = pipe(
+                        prompt, width=vd.get("width", 256),
+                        height=vd.get("height", 256),
+                        num_frames=vd.get("num_frames", 16),
+                        num_inference_steps=vd.get("num_inference_steps",
+                                                   25),
+                        guidance_scale=vd.get("guidance_scale", 9.0))
+                    save_name = (f"{global_step}_dataset-"
+                                 f"{batch['dataset'][0]}_{prompt[:60]}")
+                    out_file = f"{output_dir}/samples/{save_name}.mp4"
+                    export_to_video(frames[0], out_file,
+                                    cfg.train_data.get("fps", 8))
+                    logger.info(f"Saved a new sample to {out_file}")
+
+                if global_step >= cfg.max_train_steps:
+                    break
+            if global_step >= cfg.max_train_steps:
+                break
+
+        params_now, lora_now = current_params()
+        save_pipe(cfg, output_dir, global_step, cfg.pretrained_model_path,
+                  models, params_now, lora_now, lora_manager,
+                  is_checkpoint=False)
+    if writer is not None:
+        writer.close()
+    return output_dir

@@ -1,0 +1,193 @@
+"""The jitted training step: two-pass hybrid video/text loss.
+
+Behavioral spec: `finetune_unet` (reference train.py:720-836) --
+latents (cached or VAE-encoded), offset noise (reference train.py:349-358),
+per-video uniform timesteps, eps/v targets, and the TWO-PASS loss
+(reference train.py:803-834): pass 0 runs the full video with DETACHED text
+embeddings; pass 1 (when frames > 1 and the text path is trainable) runs
+frame index 1 only with trainable text embeddings; total loss is the sum.
+Both passes live in ONE compiled step (stop_gradient replaces .detach()),
+so there is no recompilation and XLA shares the text-encoder forward.
+
+Gradients are computed only for the trainable subtree (base-param selections
++ LoRA overlays); the DP all-reduce is implicit in SPMD sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import FrozenDict
+
+from ..lora.overlay import apply_lora
+from ..lora.sites import LoraSite
+from ..schedulers.ddpm import DDPMScheduler
+from ..utils.pytree import merge
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: Dict[str, Any]    # {'unet','text','unet_lora','text_lora'}
+    opt_state: Any
+    rng: jax.Array
+
+    def tree_flatten(self):
+        return (self.step, self.trainable, self.opt_state, self.rng), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainStepConfig:
+    unet: Any                     # flax module
+    text_encoder: Any             # flax module
+    vae: Any                      # flax module (used when not cache_latents)
+    scheduler: DDPMScheduler
+    unet_sites: Tuple[LoraSite, ...] = ()
+    text_sites: Tuple[LoraSite, ...] = ()
+    lora_version: str = "cloneofsimo"
+    lora_scale: float = 1.0
+    lora_unet_dropout: float = 0.0
+    lora_text_dropout: float = 0.0
+    cache_latents: bool = False
+    use_offset_noise: bool = False
+    rescale_schedule: bool = False
+    offset_noise_strength: float = 0.1
+    scaling_factor: float = 0.18215
+    mixed_precision: Optional[str] = None   # None|'bf16' (compute dtype)
+
+
+def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
+                      train: bool):
+    """Merge trainable/frozen subtrees and fold LoRA overlays in."""
+    unet_params = merge(frozen.get("unet", {}), trainable.get("unet", {}))
+    if "unet_lora" in trainable:
+        drop_rng = None
+        if train and cfg.lora_unet_dropout > 0:
+            rng, drop_rng = jax.random.split(rng)
+        unet_params = apply_lora(
+            unet_params, trainable["unet_lora"], cfg.unet_sites,
+            version=cfg.lora_version, scale=cfg.lora_scale,
+            dropout_rng=drop_rng, dropout_rate=cfg.lora_unet_dropout)
+    text_params = merge(frozen.get("text", {}), trainable.get("text", {}))
+    if "text_lora" in trainable:
+        drop_rng = None
+        if train and cfg.lora_text_dropout > 0:
+            rng, drop_rng = jax.random.split(rng)
+        text_params = apply_lora(
+            text_params, trainable["text_lora"], cfg.text_sites,
+            version=cfg.lora_version, scale=cfg.lora_scale,
+            dropout_rng=drop_rng, dropout_rate=cfg.lora_text_dropout)
+    return unet_params, text_params
+
+
+def sample_noise(rng, latents, noise_strength: float,
+                 use_offset_noise: bool):
+    """reference train.py:349-358."""
+    noise_rng, offset_rng = jax.random.split(rng)
+    noise = jax.random.normal(noise_rng, latents.shape, latents.dtype)
+    if use_offset_noise:
+        b, c, f = latents.shape[:3]
+        offset = jax.random.normal(offset_rng, (b, c, f, 1, 1),
+                                   latents.dtype)
+        noise = noise + noise_strength * offset
+    return noise
+
+
+def tensor_to_vae_latent(cfg: TrainStepConfig, vae_params, pixel_values,
+                         rng):
+    """reference train.py:339-347: per-frame encode, fold frames to batch,
+    scale by 0.18215. pixel_values: (B, F, C, H, W)."""
+    b, f = pixel_values.shape[:2]
+    px = pixel_values.reshape((b * f,) + pixel_values.shape[2:])
+    latents = cfg.vae.apply({"params": vae_params}, px, rng=rng,
+                            method=type(cfg.vae).encode)
+    latents = latents.reshape((b, f) + latents.shape[1:])
+    latents = latents.transpose(0, 2, 1, 3, 4)      # (B, C, F, h, w)
+    return latents * cfg.scaling_factor
+
+
+def make_train_step(cfg: TrainStepConfig, optimizer):
+    """Build the pure train_step(state, frozen, vae_params, batch)."""
+
+    use_offset = cfg.use_offset_noise and not cfg.rescale_schedule
+
+    def loss_fn(trainable, frozen, vae_params, batch, rng):
+        rng_lora, rng_noise, rng_t, rng_vae, rng_drop = jax.random.split(
+            rng, 5)
+        unet_params, text_params = _effective_params(
+            cfg, trainable, frozen, rng_lora, train=True)
+
+        if cfg.cache_latents:
+            latents = batch["pixel_values"]       # already latents
+        else:
+            latents = tensor_to_vae_latent(cfg, vae_params,
+                                           batch["pixel_values"], rng_vae)
+
+        video_length = latents.shape[2]
+        noise = sample_noise(rng_noise, latents,
+                             cfg.offset_noise_strength, use_offset)
+        bsz = latents.shape[0]
+        timesteps = jax.random.randint(
+            rng_t, (bsz,), 0, cfg.scheduler.num_train_timesteps)
+        noisy_latents = cfg.scheduler.add_noise(latents, noise, timesteps)
+
+        token_ids = batch["prompt_ids"]
+        if token_ids.ndim > 2:
+            token_ids = token_ids[:, 0]
+        hidden_states = cfg.text_encoder.apply({"params": text_params},
+                                               token_ids)
+        target = cfg.scheduler.training_target(latents, noise, timesteps)
+
+        text_trainable = ("text" in trainable) or ("text_lora" in trainable)
+
+        def unet_fwd(latents_in, target_in, hs, key):
+            pred = cfg.unet.apply(
+                {"params": unet_params}, latents_in, timesteps, hs,
+                deterministic=False, rngs={"dropout": key})
+            return jnp.mean(jnp.square(pred.astype(jnp.float32)
+                                       - target_in.astype(jnp.float32)))
+
+        k0, k1 = jax.random.split(rng_drop)
+        # pass 0: full clip; detach text when multi-frame
+        hs0 = (jax.lax.stop_gradient(hidden_states) if video_length > 1
+               else hidden_states)
+        loss0 = unet_fwd(noisy_latents, target, hs0, k0)
+        losses = [loss0]
+
+        if video_length > 1:
+            # pass 1: reference runs a second pass; frame-1-only when the
+            # text path is trainable (reference train.py:807-820)
+            if text_trainable:
+                nl = noisy_latents[:, :, 1:2]
+                tg = target[:, :, 1:2]
+            else:
+                nl, tg = noisy_latents, target
+            losses.append(unet_fwd(nl, tg, hidden_states, k1))
+
+        loss = sum(losses)
+        aux = {"loss0": losses[0],
+               "loss1": losses[1] if len(losses) > 1 else jnp.zeros(())}
+        return loss, aux
+
+    def train_step(state: TrainState, frozen, vae_params, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, frozen, vae_params, batch, step_rng)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        metrics = {"loss": loss, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, trainable=new_trainable,
+                          opt_state=new_opt_state, rng=rng), metrics
+
+    return train_step
