@@ -15,6 +15,12 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# the axon sitecustomize's register() stomps jax_platforms to "axon,cpu"
+# AFTER the env var is read, silently routing every test op over the TPU
+# tunnel (bf16 matmuls, minutes-long remote compiles).  Re-pin it here --
+# this must run before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the test host is a single slow core, so
 # recompiling the tiny models every run dominates test time
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -211,8 +211,13 @@ class SingleVideoDataset(_Dataset):
             it = iter(it)
             return iter(lambda: tuple(islice(it, size)), ())
 
+        # the reference keeps a shorter trailing chunk
+        # (utils/dataset.py:325-334), which only works at batch size 1 and
+        # forces an XLA recompile per shape; full chunks only here so every
+        # item has the static (n_sample_frames, C, H, W) shape
         self.frames = [c for c in chunk(vr_range, self.n_sample_frames)
-                       if all(f < len(vr) for f in c)]
+                       if len(c) == self.n_sample_frames
+                       and all(f < len(vr) for f in c)]
         return self.frames
 
     @staticmethod

@@ -30,12 +30,17 @@ def default_collate(items):
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 2, seed: int = 0, drop_last: bool = True,
-                 collate_fn=default_collate, prefetch: int = 2):
+                 collate_fn=default_collate, prefetch: int = 2,
+                 pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(0, num_workers)
-        self.drop_last = drop_last
+        # pad_last: wrap-around-pad every batch to full size (torch
+        # DistributedSampler semantics) so a fixed global batch can always
+        # be sharded over the 'dp' mesh axis without recompilation
+        self.pad_last = pad_last
+        self.drop_last = drop_last and not pad_last
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self._epoch = 0
@@ -54,7 +59,13 @@ class DataLoader:
         n = (len(indices) // self.batch_size * self.batch_size
              if self.drop_last else len(indices))
         for i in range(0, n, self.batch_size):
-            yield indices[i:i + self.batch_size]
+            batch = indices[i:i + self.batch_size]
+            if self.pad_last and len(batch) < self.batch_size:
+                reps = -(-self.batch_size // len(indices))  # ceil
+                pool = np.concatenate([indices] * (reps + 1))
+                batch = np.concatenate(
+                    [batch, pool[:self.batch_size - len(batch)]])
+            yield batch
 
     def __iter__(self) -> Iterator:
         self._epoch += 1

@@ -29,7 +29,8 @@ EMBED_FLAG = "<embed>"
 
 
 def _to_numpy(x) -> np.ndarray:
-    return np.asarray(x, dtype=np.float32)
+    # copy: jax arrays view read-only buffers, which torch.from_numpy rejects
+    return np.array(x, dtype=np.float32)
 
 
 # -- cloneofsimo .pt -------------------------------------------------------

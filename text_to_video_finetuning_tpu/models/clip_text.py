@@ -109,6 +109,10 @@ class CLIPEncoderLayer(nn.Module):
 class CLIPTextModel(nn.Module):
     config: CLIPTextConfig = CLIP_MS_TEXT_CONFIG
     dtype: jnp.dtype = jnp.float32
+    # per-layer remat, the analog of the reference's
+    # text_encoder.gradient_checkpointing_enable()
+    # (text_encoder_gradient_checkpointing, configs/v2/train_config.yaml:55)
+    gradient_checkpointing: bool = False
 
     @nn.compact
     def __call__(self, input_ids, output_hidden_states: bool = False):
@@ -129,9 +133,12 @@ class CLIPTextModel(nn.Module):
         causal_mask = jnp.triu(
             jnp.full((s, s), -1e9, dtype=jnp.float32), k=1)[None, None]
 
+        layer_cls = CLIPEncoderLayer
+        if self.gradient_checkpointing:
+            layer_cls = nn.remat(CLIPEncoderLayer)
         all_hidden = [hidden_states]
         for i in range(cfg.num_hidden_layers):
-            hidden_states = CLIPEncoderLayer(
+            hidden_states = layer_cls(
                 cfg, dtype=self.dtype, name=f"layers_{i}")(
                     hidden_states, causal_mask)
             all_hidden.append(hidden_states)

@@ -38,6 +38,7 @@ from ..parallel import (batch_sharding, make_mesh, MeshConfig, replicate,
 from ..pipelines.text_to_video import TextToVideoSDPipeline
 from ..schedulers.ddpm import DDPMScheduler
 from ..utils import checkpoint as ckpt
+from ..utils.profiling import StepTimer, unet3d_flops_per_step
 from ..utils.pytree import merge, tree_size
 from .optim import get_lr_schedule, get_optimizer
 from .train_step import TrainState, TrainStepConfig, make_train_step
@@ -90,9 +91,12 @@ def should_sample(global_step, validation_steps, validation_data) -> bool:
 
 
 def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
-                         vae: AutoencoderKL, vae_params):
+                         vae: AutoencoderKL, vae_params,
+                         global_batch_size: Optional[int] = None):
     """reference train.py:266-314: one VAE-encode pass over the dataset,
-    cached to disk, then a cached-latent loader (num_workers=0)."""
+    cached to disk, then a cached-latent loader (num_workers=0).  Unlike the
+    reference (which assumes caching batch size 1, train.py:297), every item
+    in the batch is cached."""
     if not cfg.cache_latents:
         return None
     if cfg.cached_latent_dir is not None:
@@ -103,20 +107,23 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
         encode = jax.jit(lambda p, x, k: vae.apply(
             {"params": p}, x, rng=k, method=AutoencoderKL.encode))
         rng = jax.random.PRNGKey(cfg.seed or 0)
-        for i, batch in enumerate(loader):
-            rng, key = jax.random.split(rng)
-            px = jnp.asarray(batch["pixel_values"][0])   # (F, C, H, W)
-            lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
-            lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
-            np.savez(
-                f"{cache_dir}/cached_{i}.npz",
-                pixel_values=np.asarray(lat, dtype=np.float32),
-                prompt_ids=np.asarray(batch["prompt_ids"][0]),
-                text_prompt=batch["text_prompt"][0],
-                dataset=batch["dataset"][0])
+        n = 0
+        for batch in loader:
+            for j in range(len(batch["text_prompt"])):
+                rng, key = jax.random.split(rng)
+                px = jnp.asarray(batch["pixel_values"][j])   # (F, C, H, W)
+                lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
+                lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
+                np.savez(
+                    f"{cache_dir}/cached_{n}.npz",
+                    pixel_values=np.asarray(lat, dtype=np.float32),
+                    prompt_ids=np.asarray(batch["prompt_ids"][j]),
+                    text_prompt=batch["text_prompt"][j],
+                    dataset=batch["dataset"][j])
+                n += 1
     return DataLoader(CachedDataset(cache_dir=cache_dir),
-                      batch_size=cfg.train_batch_size, shuffle=False,
-                      num_workers=0)
+                      batch_size=global_batch_size or cfg.train_batch_size,
+                      shuffle=False, num_workers=0, pad_last=True)
 
 
 def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
@@ -197,7 +204,9 @@ def main(**kwargs):
                                 gradient_checkpointing=
                                 cfg.gradient_checkpointing,
                                 attention_backend=backend)
-    text_encoder = CLIPTextModel(config=clip_config, dtype=compute_dtype)
+    text_encoder = CLIPTextModel(
+        config=clip_config, dtype=compute_dtype,
+        gradient_checkpointing=cfg.text_encoder_gradient_checkpointing)
     vae = AutoencoderKL(config=vae_config, dtype=compute_dtype)
     noise_scheduler = DDPMScheduler(scheduler_config)
     if not cfg.use_offset_noise and cfg.rescale_schedule:
@@ -205,8 +214,10 @@ def main(**kwargs):
 
     learning_rate = cfg.learning_rate
     if cfg.scale_lr:
+        # reference train.py:548-551: lr x accum x per-process batch x
+        # num_processes; the process count analog is the 'dp' axis extent
         learning_rate = (learning_rate * cfg.gradient_accumulation_steps
-                         * cfg.train_batch_size * n_devices)
+                         * cfg.train_batch_size * mesh.shape["dp"])
 
     # LoRA
     lora_manager = LoraHandler(
@@ -279,13 +290,20 @@ def main(**kwargs):
                     extend=cfg.extend_dataset)
     train_dataset = (train_datasets[0] if len(train_datasets) == 1
                      else ConcatDataset(train_datasets))
+    # train_batch_size is per-device (reference DDP: per-process batch x
+    # num_processes, train.py:548-551); the jitted SPMD step consumes one
+    # global batch sharded over 'dp', padded by wrap-around like torch's
+    # DistributedSampler so the compiled shape is fixed
+    dp_size = mesh.shape["dp"]
+    global_batch_size = cfg.train_batch_size * dp_size
     train_dataloader = DataLoader(train_dataset,
-                                  batch_size=cfg.train_batch_size,
+                                  batch_size=global_batch_size,
                                   shuffle=cfg.shuffle,
-                                  seed=cfg.seed or 0)
+                                  seed=cfg.seed or 0, pad_last=True)
 
     cached = handle_cache_latents(cfg, output_dir, train_dataloader, vae,
-                                  vae_params)
+                                  vae_params,
+                                  global_batch_size=global_batch_size)
     if cached is not None:
         train_dataloader = cached
 
@@ -302,7 +320,9 @@ def main(**kwargs):
         rescale_schedule=cfg.rescale_schedule,
         offset_noise_strength=cfg.offset_noise_strength,
         scaling_factor=vae_config.scaling_factor,
-        mixed_precision=cfg.mixed_precision)
+        mixed_precision=cfg.mixed_precision,
+        eval_train=bool(cfg.eval_train
+                        or cfg.extra_kwargs.get("eval_train", False)))
     train_step = make_train_step(step_cfg, optimizer)
 
     # shard: params replicated (fsdp shards if configured), batch over dp
@@ -326,7 +346,7 @@ def main(**kwargs):
             len(train_dataloader) / cfg.gradient_accumulation_steps)
         num_train_epochs = math.ceil(cfg.max_train_steps
                                      / max(num_update_steps_per_epoch, 1))
-        total_batch_size = (cfg.train_batch_size * n_devices
+        total_batch_size = (global_batch_size
                             * cfg.gradient_accumulation_steps)
         logger.info("***** Running training *****")
         logger.info(f"  Num examples = {len(train_dataset)}")
@@ -342,6 +362,15 @@ def main(**kwargs):
         global_step = 0
         last_prompt = ""
         t_start = time.time()
+
+        # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
+        # the reference has no tracing subsystem; here it is first-class)
+        td = cfg.train_data or {}
+        timer = StepTimer(flops_per_step=unet3d_flops_per_step(
+            unet_config, batch=global_batch_size,
+            frames=td.get("n_sample_frames", 16),
+            height=td.get("height", 256), width=td.get("width", 256)))
+        profile_dir = os.path.join(output_dir, "profile")
 
         def current_params():
             host_trainable = jax.device_get(state.trainable)
@@ -370,22 +399,34 @@ def main(**kwargs):
                     "prompt_ids": jax.device_put(
                         jnp.asarray(batch["prompt_ids"]), data_sharding),
                 }
+                if cfg.profile_steps and global_step == 2:
+                    jax.profiler.start_trace(profile_dir)
                 state, metrics = jit_step(state, frozen, vae_params_d,
                                           device_batch)
                 global_step += 1
+                if (cfg.profile_steps
+                        and global_step == 2 + cfg.profile_steps):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    logger.info(f"profiler trace written to {profile_dir}")
+                timer.tick()
 
                 if global_step % 10 == 0 or global_step == 1:
                     m = jax.device_get(metrics)
-                    dt = (time.time() - t_start) / global_step
+                    stats = timer.stats()
                     logger.info(
                         f"step {global_step} loss={float(m['loss']):.4f} "
                         f"grad_norm={float(m['grad_norm']):.3f} "
-                        f"({dt:.2f}s/step)")
+                        f"({stats['step_time_s']:.2f}s/step, "
+                        f"mfu={stats['mfu']:.1%})")
                     if writer is not None:
                         writer.add_scalar("train_loss", float(m["loss"]),
                                           global_step)
                         writer.add_scalar("grad_norm",
                                           float(m["grad_norm"]), global_step)
+                        writer.add_scalar("steps_per_sec",
+                                          stats["steps_per_sec"], global_step)
+                        writer.add_scalar("mfu", stats["mfu"], global_step)
 
                 if global_step % cfg.checkpointing_steps == 0:
                     params_now, lora_now = current_params()

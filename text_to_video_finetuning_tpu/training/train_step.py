@@ -63,6 +63,9 @@ class TrainStepConfig:
     offset_noise_strength: float = 0.1
     scaling_factor: float = 0.18215
     mixed_precision: Optional[str] = None   # None|'bf16' (compute dtype)
+    # reference eval_train kwarg (train.py:779-781): run the models in eval
+    # mode during training (disables dropout)
+    eval_train: bool = False
 
 
 def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
@@ -124,7 +127,7 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         rng_lora, rng_noise, rng_t, rng_vae, rng_drop = jax.random.split(
             rng, 5)
         unet_params, text_params = _effective_params(
-            cfg, trainable, frozen, rng_lora, train=True)
+            cfg, trainable, frozen, rng_lora, train=not cfg.eval_train)
 
         if cfg.cache_latents:
             latents = batch["pixel_values"]       # already latents
@@ -152,7 +155,7 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         def unet_fwd(latents_in, target_in, hs, key):
             pred = cfg.unet.apply(
                 {"params": unet_params}, latents_in, timesteps, hs,
-                deterministic=False, rngs={"dropout": key})
+                deterministic=cfg.eval_train, rngs={"dropout": key})
             return jnp.mean(jnp.square(pred.astype(jnp.float32)
                                        - target_in.astype(jnp.float32)))
 

@@ -187,3 +187,81 @@ def convert_text_enc_state_dict_v20(text_enc_dict: Dict[str, np.ndarray]):
 def convert_text_enc_state_dict(text_enc_dict):
     """SD v1 layout: identity (reference convert script :298-299)."""
     return text_enc_dict
+
+
+def _cli():
+    """CLI parity with the reference converter
+    (reference utils/convert_diffusers_to_original_ms_text_to_video.py:370-465):
+    reads a diffusers pipeline dir, writes the UNet as an original
+    ModelScope/CompVis-keyed .ckpt or .safetensors.  The reference's CLIP
+    branch is dead code there ("CLIP conversion doesn't work atm"); here
+    --clip_checkpoint_path actually writes the converted text encoder."""
+    import argparse
+    import os.path as osp
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", default=None, type=str,
+                        required=True, help="Path to the model to convert.")
+    parser.add_argument("--checkpoint_path", default=None, type=str,
+                        required=True, help="Path to the output model.")
+    parser.add_argument("--clip_checkpoint_path", default=None, type=str,
+                        help="Path to the output CLIP model.")
+    parser.add_argument("--half", action="store_true",
+                        help="Save weights in half precision.")
+    parser.add_argument("--use_safetensors", action="store_true",
+                        help="Save weights use safetensors, default is ckpt.")
+    args = parser.parse_args()
+
+    def _load_sd(model_dir, names):
+        from safetensors import safe_open
+        for name in names:
+            p = osp.join(model_dir, name)
+            if not osp.exists(p):
+                continue
+            if p.endswith(".safetensors"):
+                out = {}
+                with safe_open(p, framework="numpy") as f:
+                    for k in f.keys():
+                        out[k] = f.get_tensor(k)
+                return out
+            import torch
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+            return {k: v.numpy() for k, v in sd.items()}
+        raise FileNotFoundError(f"no weights under {model_dir}")
+
+    unet_sd = _load_sd(osp.join(args.model_path, "unet"),
+                       ("diffusion_pytorch_model.safetensors",
+                        "diffusion_pytorch_model.bin"))
+    text_sd = _load_sd(osp.join(args.model_path, "text_encoder"),
+                       ("model.safetensors", "pytorch_model.bin"))
+
+    unet_sd = convert_unet_state_dict(unet_sd)
+
+    is_v20 = "text_model.encoder.layers.22.layer_norm2.bias" in text_sd
+    if is_v20:
+        text_sd = {"transformer." + k: v for k, v in text_sd.items()}
+        text_sd = convert_text_enc_state_dict_v20(text_sd)
+    else:
+        text_sd = convert_text_enc_state_dict(text_sd)
+
+    def _save(sd, path):
+        if args.half:
+            sd = {k: v.astype(np.float16) for k, v in sd.items()}
+        if args.use_safetensors:
+            from safetensors.numpy import save_file
+            save_file(sd, path)
+        else:
+            import torch
+            torch.save({k: torch.from_numpy(np.array(v))
+                        for k, v in sd.items()}, path)
+
+    print("Saving UNET")
+    _save(unet_sd, args.checkpoint_path)
+    if args.clip_checkpoint_path:
+        print("Saving CLIP")
+        _save(text_sd, args.clip_checkpoint_path)
+    print("Operation successfull")
+
+
+if __name__ == "__main__":
+    _cli()
