@@ -201,3 +201,37 @@ def test_dp_grad_equals_large_batch(tiny_pipeline_dir):
     for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
                     jax.tree_util.tree_leaves(s8.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_train_state_save_resume_bit_exact(tiny_pipeline_dir, tiny_video,
+                                           tmp_path):
+    """Full-state resume: train 2 steps + save, resume + 1 step must equal
+    an uninterrupted 3-step run (step counter, Adam moments, RNG stream)."""
+    import glob as globmod
+    from text_to_video_finetuning_tpu.training.engine import main
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+
+    base = _base_config(tiny_pipeline_dir, tiny_video, tmp_path,
+                        max_train_steps=3, checkpointing_steps=3,
+                        shuffle=False)
+    out_a = main(**base)
+    unet_a = ckpt.load_unet(os.path.join(out_a, "unet"))[1]
+
+    base2 = _base_config(tiny_pipeline_dir, tiny_video, tmp_path,
+                         output_dir=str(tmp_path / "out2"),
+                         max_train_steps=2, checkpointing_steps=2,
+                         shuffle=False)
+    out_b = main(**base2)
+    ckpt_dir = globmod.glob(os.path.join(out_b, "checkpoint-2"))[0]
+    assert os.path.isdir(os.path.join(ckpt_dir, "train_state"))
+
+    base3 = _base_config(tiny_pipeline_dir, tiny_video, tmp_path,
+                         output_dir=str(tmp_path / "out3"),
+                         max_train_steps=3, checkpointing_steps=1000,
+                         shuffle=False, resume_from_checkpoint=ckpt_dir)
+    out_c = main(**base3)
+    unet_c = ckpt.load_unet(os.path.join(out_c, "unet"))[1]
+
+    for a, c in zip(jax.tree_util.tree_leaves(unet_a),
+                    jax.tree_util.tree_leaves(unet_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)

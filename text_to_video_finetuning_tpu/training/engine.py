@@ -38,6 +38,7 @@ from ..parallel import (batch_sharding, make_mesh, MeshConfig, replicate,
 from ..pipelines.text_to_video import TextToVideoSDPipeline
 from ..schedulers.ddpm import DDPMScheduler
 from ..utils import checkpoint as ckpt
+from ..utils import train_state_io
 from ..utils.profiling import StepTimer, unet3d_flops_per_step
 from ..utils.pytree import merge, tree_size
 from .optim import get_lr_schedule, get_optimizer
@@ -335,6 +336,16 @@ def main(**kwargs):
         use_fsdp = cfg.mesh_fsdp > 1
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicate(mesh)), state)
+        # full-state resume (step + Adam moments + rng), which the reference
+        # cannot do (SURVEY.md §5.4: optimizer state is not saved there)
+        if (cfg.resume_from_checkpoint
+                and train_state_io.has_train_state(
+                    cfg.resume_from_checkpoint)):
+            state = train_state_io.load_train_state(
+                cfg.resume_from_checkpoint, state)
+            logger.info(f"Restored train state (step "
+                        f"{int(jax.device_get(state.step))}) from "
+                        f"{cfg.resume_from_checkpoint}")
         frozen = shard_params(frozen, mesh, use_fsdp=use_fsdp, use_tp=False)
         vae_params_d = shard_params(vae_params, mesh, use_fsdp=False,
                                     use_tp=False)
@@ -359,7 +370,7 @@ def main(**kwargs):
         models = {"unet_config": unet_config, "clip_config": clip_config,
                   "vae_config": vae_config,
                   "scheduler_config": scheduler_config}
-        global_step = 0
+        global_step = int(jax.device_get(state.step))
         last_prompt = ""
         t_start = time.time()
 
@@ -433,6 +444,9 @@ def main(**kwargs):
                     save_pipe(cfg, output_dir, global_step,
                               cfg.pretrained_model_path, models, params_now,
                               lora_now, lora_manager, is_checkpoint=True)
+                    train_state_io.save_train_state(
+                        os.path.join(output_dir,
+                                     f"checkpoint-{global_step}"), state)
 
                 if should_sample(global_step, cfg.validation_steps,
                                  cfg.validation_data):
