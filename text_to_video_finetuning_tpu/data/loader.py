@@ -31,7 +31,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 2, seed: int = 0, drop_last: bool = True,
                  collate_fn=default_collate, prefetch: int = 2,
-                 pad_last: bool = False):
+                 pad_last: bool = False, num_shards: int = 1,
+                 shard_index: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -43,6 +44,15 @@ class DataLoader:
         self.drop_last = drop_last and not pad_last
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        # multi-host: batch_size is the GLOBAL batch; every host draws the
+        # same seeded index permutation and loads only its contiguous
+        # 1/num_shards slice of each global batch (the host-local data that
+        # jax.make_array_from_process_local_data assembles into one global
+        # array over DCN)
+        assert batch_size % max(num_shards, 1) == 0, (
+            f"global batch {batch_size} not divisible by {num_shards} hosts")
+        self.num_shards = max(num_shards, 1)
+        self.shard_index = shard_index
         self._epoch = 0
         self._rng = np.random.RandomState(seed)
 
@@ -58,6 +68,7 @@ class DataLoader:
             self._rng.shuffle(indices)
         n = (len(indices) // self.batch_size * self.batch_size
              if self.drop_last else len(indices))
+        local = self.batch_size // self.num_shards
         for i in range(0, n, self.batch_size):
             batch = indices[i:i + self.batch_size]
             if self.pad_last and len(batch) < self.batch_size:
@@ -65,6 +76,9 @@ class DataLoader:
                 pool = np.concatenate([indices] * (reps + 1))
                 batch = np.concatenate(
                     [batch, pool[:self.batch_size - len(batch)]])
+            if self.num_shards > 1:
+                batch = batch[self.shard_index * local:
+                              (self.shard_index + 1) * local]
             yield batch
 
     def __iter__(self) -> Iterator:

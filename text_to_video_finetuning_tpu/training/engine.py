@@ -100,10 +100,20 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
     in the batch is cached."""
     if not cfg.cache_latents:
         return None
+    n_proc, proc = jax.process_count(), jax.process_index()
     if cfg.cached_latent_dir is not None:
+        # pre-built shared cache: shard it across hosts at load time
         cache_dir = os.path.abspath(cfg.cached_latent_dir)
+        shards = (n_proc, proc)
+        local_bs = global_batch_size or cfg.train_batch_size
     else:
+        # fresh cache: each host encodes (and later reads) only its own
+        # shard of the dataset, so the directory is host-local
         cache_dir = f"{output_dir}/cached_latents"
+        if n_proc > 1:
+            cache_dir = f"{cache_dir}/host{proc}"
+        shards = (1, 0)
+        local_bs = (global_batch_size or cfg.train_batch_size) // n_proc
         os.makedirs(cache_dir, exist_ok=True)
         encode = jax.jit(lambda p, x, k: vae.apply(
             {"params": p}, x, rng=k, method=AutoencoderKL.encode))
@@ -123,8 +133,9 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
                     dataset=batch["dataset"][j])
                 n += 1
     return DataLoader(CachedDataset(cache_dir=cache_dir),
-                      batch_size=global_batch_size or cfg.train_batch_size,
-                      shuffle=False, num_workers=0, pad_last=True)
+                      batch_size=local_bs, shuffle=False, num_workers=0,
+                      pad_last=True, num_shards=shards[0],
+                      shard_index=shards[1])
 
 
 def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
@@ -173,11 +184,35 @@ def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
     logger.info(f"Saved model at {save_path} on step {global_step}")
 
 
+def maybe_init_distributed():
+    """Multi-host: bring up the JAX distributed service when a coordinator
+    is configured (TPU pods set this via environment; single-host runs are
+    untouched).  This is the DCN analog of the reference's NCCL process
+    group init (reference train.py:518-523)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    if coord:
+        jax.distributed.initialize()
+
+
+def _put_global_batch(arr, sharding):
+    """Assemble a globally-sharded batch array.  Single-host: plain
+    device_put.  Multi-host: each process contributes its local slice
+    (loaded by its shard of the DataLoader) and XLA addresses the rest
+    over DCN."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(arr))
+
+
 def main(**kwargs):
     cfg = (kwargs.pop("config") if "config" in kwargs
            and isinstance(kwargs.get("config"), TrainConfig)
            else train_config_from_dict(kwargs))
     logging.basicConfig(level=logging.INFO)
+    maybe_init_distributed()
 
     output_dir = create_output_folders(cfg.output_dir, cfg)
     writer = None
@@ -300,7 +335,9 @@ def main(**kwargs):
     train_dataloader = DataLoader(train_dataset,
                                   batch_size=global_batch_size,
                                   shuffle=cfg.shuffle,
-                                  seed=cfg.seed or 0, pad_last=True)
+                                  seed=cfg.seed or 0, pad_last=True,
+                                  num_shards=jax.process_count(),
+                                  shard_index=jax.process_index())
 
     cached = handle_cache_latents(cfg, output_dir, train_dataloader, vae,
                                   vae_params,
@@ -405,10 +442,11 @@ def main(**kwargs):
                     continue
                 last_prompt = batch["text_prompt"][0]
                 device_batch = {
-                    "pixel_values": jax.device_put(
-                        jnp.asarray(batch["pixel_values"]), data_sharding),
-                    "prompt_ids": jax.device_put(
-                        jnp.asarray(batch["prompt_ids"]), data_sharding),
+                    "pixel_values": _put_global_batch(
+                        np.asarray(batch["pixel_values"], np.float32),
+                        data_sharding),
+                    "prompt_ids": _put_global_batch(
+                        np.asarray(batch["prompt_ids"]), data_sharding),
                 }
                 if cfg.profile_steps and global_step == 2:
                     jax.profiler.start_trace(profile_dir)
