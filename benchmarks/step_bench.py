@@ -1,0 +1,111 @@
+"""Train-step variant benchmark on the real chip: isolates the cost of
+gradient checkpointing, attention backend, and the reference's two-pass
+loss at the headline workload (256x256x16f LoRA, bf16, cached latents).
+
+Run: PYTHONPATH=/root/repo python benchmarks/step_bench.py [--quick]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(grad_ckpt: bool, backend: str, frames: int = 16):
+    from text_to_video_finetuning_tpu.lora.handler import LoraHandler
+    from text_to_video_finetuning_tpu.models import (
+        CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
+        CLIP_MS_TEXT_CONFIG)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import (
+        DDPMScheduler, SchedulerConfig)
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+
+    ucfg = UNET3D_MS_1_7B_CONFIG
+    unet = UNet3DConditionModel(config=ucfg, dtype=jnp.bfloat16,
+                                gradient_checkpointing=grad_ckpt,
+                                attention_backend=backend)
+    clip = CLIPTextModel(config=CLIP_MS_TEXT_CONFIG, dtype=jnp.bfloat16)
+    batch, latent = 1, 32
+    rng = jax.random.PRNGKey(0)
+
+    def zeros_like_shape(tree):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+    unet_params = zeros_like_shape(jax.eval_shape(
+        lambda r: unet.init(
+            r, jnp.zeros((1, 4, frames, latent, latent), jnp.bfloat16),
+            jnp.array([1]),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim), jnp.bfloat16)
+        )["params"], rng))
+    text_params = zeros_like_shape(jax.eval_shape(
+        lambda r: clip.init(r, jnp.zeros((1, 77), jnp.int32))["params"],
+        rng))
+
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          unet_replace_modules=["Transformer2DModel",
+                                                "TransformerTemporalModel",
+                                                "ResnetBlock2D"])
+    unet_lora, unet_sites, _ = handler.add_lora_to_model(
+        True, "unet", ucfg, r=16, rng=rng)
+
+    trainable = {"unet_lora": unet_lora}
+    frozen = {"unet": unet_params, "text": text_params}
+    optimizer = get_optimizer(get_lr_schedule("constant", 5e-6, 0, 100))
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=clip, vae=None,
+        scheduler=DDPMScheduler(SchedulerConfig()),
+        unet_sites=tuple(unet_sites), lora_version="cloneofsimo",
+        cache_latents=True, use_offset_noise=False)
+    train_step = make_train_step(step_cfg, optimizer)
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng)
+    batch_tree = {
+        "pixel_values": jnp.zeros((batch, 4, frames, latent, latent),
+                                  jnp.bfloat16),
+        "prompt_ids": jnp.zeros((batch, 77), jnp.int32),
+    }
+    return (jax.jit(train_step, donate_argnums=(0,)), state, frozen,
+            batch_tree)
+
+
+def run(jit_step, state, frozen, batch_tree, n=8):
+    state, metrics = jit_step(state, frozen, None, batch_tree)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = jit_step(state, frozen, None, batch_tree)
+    jax.block_until_ready(metrics["loss"])
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", nargs="*", default=None)
+    args = p.parse_args()
+    variants = [
+        ("remat+auto", dict(grad_ckpt=True, backend="auto")),
+        ("remat+xla", dict(grad_ckpt=True, backend="xla")),
+        ("remat+pallas", dict(grad_ckpt=True, backend="pallas")),
+        ("noremat+auto", dict(grad_ckpt=False, backend="auto")),
+    ]
+    if args.variants:
+        variants = [v for v in variants if v[0] in args.variants]
+    print(f"backend: {jax.default_backend()} "
+          f"{jax.devices()[0].device_kind}")
+    for name, kw in variants:
+        try:
+            t = run(*build(**kw))
+            print({"variant": name, "step_ms": round(t * 1e3, 1),
+                   "steps_per_s": round(1.0 / t, 3)})
+        except Exception as e:
+            print({"variant": name, "error": str(e)[:160]})
+
+
+if __name__ == "__main__":
+    main()

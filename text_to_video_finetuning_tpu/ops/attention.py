@@ -56,10 +56,13 @@ def dot_product_attention(q, k, v, scale: float | None = None,
         scale = q.shape[-1] ** -0.5
     backend = AttentionBackend(backend)
     if backend == AttentionBackend.AUTO:
-        # Short sequences (temporal attention over frames, tiny spatial grids)
-        # gain nothing from flash blocking; XLA's fused softmax wins there.
+        # Measured on v5e (benchmarks/attn_bench.py): XLA's fused softmax is
+        # at the dispatch floor for short sequences (temporal attention over
+        # frames, tiny spatial grids, 77-token cross KV); the Pallas flash
+        # kernel wins 2.3-2.7x once the logits matrix is HBM-bound
+        # (long spatial self-attention, e.g. 2880 tokens at 576x320).
         backend = (AttentionBackend.PALLAS
-                   if q.shape[1] >= 512 and q.shape[-1] % 128 == 0
+                   if q.shape[1] >= 1024 and k.shape[1] >= 1024
                    else AttentionBackend.XLA)
     if backend == AttentionBackend.PALLAS and jax.default_backend() == "tpu":
         from .flash_attention import flash_attention

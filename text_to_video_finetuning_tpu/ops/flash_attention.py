@@ -31,8 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# tuned on TPU v5e at the 2880-token spatial regime (benchmarks/attn_bench):
+# bq=512/bk=1024 gave 2.3-2.7x over the XLA path fwd and fwd+bwd
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
@@ -51,8 +53,16 @@ def _pick_block(n: int, target: int) -> int:
 # forward
 # ---------------------------------------------------------------------------
 
+def _kv_mask(s, kv_step, block_k: int, kv_len: int):
+    """-inf-mask score columns past the real KV length (padded keys)."""
+    col = kv_step * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, dimension=1)
+    return jnp.where(col < kv_len, s, NEG_INF)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
-                *, scale: float, block_k_steps: int):
+                *, scale: float, block_k_steps: int, block_k: int,
+                kv_len: int, mask_kv: bool):
     kv_step = pl.program_id(2)
 
     @pl.when(kv_step == 0)
@@ -68,6 +78,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+    if mask_kv:
+        s = _kv_mask(s, kv_step, block_k, kv_len)
 
     m_prev = m_ref[:]                               # (BQ, 1)
     m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -86,10 +98,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     def _():
         l = l_ref[:]
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0]
+        # lse is (B, Sq, 1): a trailing singleton lane dim keeps the block
+        # (BQ, 1) Mosaic-lowerable (the last dim equals the full array dim)
+        lse_ref[0] = m_ref[:] + jnp.log(l)
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
+def _flash_fwd(q, k, v, scale, block_q, block_k, kv_len, interpret=False):
     """q (B, Sq, D), k/v (B, Sk, D) -> (o, lse)."""
     b, sq, d = q.shape
     sk = k.shape[1]
@@ -98,7 +112,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
     grid = (b, sq // bq, sk // bk)
 
     kernel = functools.partial(_fwd_kernel, scale=scale,
-                               block_k_steps=sk // bk)
+                               block_k_steps=sk // bk, block_k=bk,
+                               kv_len=kv_len, mask_kv=kv_len < sk)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -113,12 +128,12 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bi, qi, ki: (bi, qi),
+            pl.BlockSpec((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, sq), jnp.float32),
+            jax.ShapeDtypeStruct((b, sq, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -127,6 +142,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(q, k, v)
     return o, lse
 
@@ -137,7 +153,8 @@ def _flash_fwd(q, k, v, scale, block_q, block_k):
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc,
-                    *, scale: float, q_steps: int):
+                    *, scale: float, q_steps: int, block_k: int,
+                    kv_len: int, mask_kv: bool):
     q_step = pl.program_id(2)
 
     @pl.when(q_step == 0)
@@ -149,11 +166,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k = k_ref[0]                 # (BK, D)
     v = v_ref[0]
     do = do_ref[0]               # (BQ, D)
-    lse = lse_ref[0][:, None]    # (BQ, 1)
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]             # (BQ, 1)
+    delta = delta_ref[0]         # (BQ, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if mask_kv:
+        # kv is the BLOCKED axis here (grid dim 1), not the streamed one
+        s = _kv_mask(s, pl.program_id(1), block_k, kv_len)
     p = jnp.exp(s - lse)                             # (BQ, BK)
 
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
@@ -174,7 +194,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_acc, *, scale: float, kv_steps: int):
+                   dq_acc, *, scale: float, kv_steps: int, block_k: int,
+                   kv_len: int, mask_kv: bool):
     kv_step = pl.program_id(2)
 
     @pl.when(kv_step == 0)
@@ -185,11 +206,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0]             # (BQ, 1)
+    delta = delta_ref[0]         # (BQ, 1)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
+    if mask_kv:
+        s = _kv_mask(s, kv_step, block_k, kv_len)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -203,18 +226,20 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(scale, block_q, block_k, res, g):
+def _flash_bwd(scale, block_q, block_k, kv_len, interpret, res, g):
     q, k, v, o, lse = res
     b, sq, d = q.shape
     sk = k.shape[1]
     bq = _pick_block(sq, block_q)
     bk = _pick_block(sk, block_k)
+    mask_kv = kv_len < sk
 
     delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32),
-                    axis=-1)                         # (B, Sq)
+                    axis=-1, keepdims=True)          # (B, Sq, 1)
 
     dkv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=sq // bq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, q_steps=sq // bq,
+                          block_k=bk, kv_len=kv_len, mask_kv=mask_kv),
         grid=(b, sk // bk, sq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bi, ki, qi: (bi, qi, 0),
@@ -225,9 +250,9 @@ def _flash_bwd(scale, block_q, block_k, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda bi, ki, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bi, ki, qi: (bi, qi),
+            pl.BlockSpec((1, bq, 1), lambda bi, ki, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bi, ki, qi: (bi, qi),
+            pl.BlockSpec((1, bq, 1), lambda bi, ki, qi: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -246,11 +271,13 @@ def _flash_bwd(scale, block_q, block_k, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(q, k, v, g, lse, delta)
     dk, dv = dkv
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=sk // bk),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_steps=sk // bk,
+                          block_k=bk, kv_len=kv_len, mask_kv=mask_kv),
         grid=(b, sq // bq, sk // bk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
@@ -261,9 +288,9 @@ def _flash_bwd(scale, block_q, block_k, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bi, qi, ki: (bi, qi),
+            pl.BlockSpec((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq), lambda bi, qi, ki: (bi, qi),
+            pl.BlockSpec((1, bq, 1), lambda bi, qi, ki: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi, ki: (bi, qi, 0),
@@ -272,6 +299,7 @@ def _flash_bwd(scale, block_q, block_k, res, g):
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(q, k, v, g, lse, delta)
 
     return dq, dk, dv
@@ -281,19 +309,20 @@ def _flash_bwd(scale, block_q, block_k, res, g):
 # public entry
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_bhsd(q, k, v, scale, block_q, block_k):
-    o, _ = _flash_fwd(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_bhsd(q, k, v, scale, block_q, block_k, kv_len,
+                          interpret=False):
+    o, _ = _flash_fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return o
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k):
-    o, lse = _flash_fwd(q, k, v, scale, block_q, block_k)
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, kv_len, interpret):
+    o, lse = _flash_fwd(q, k, v, scale, block_q, block_k, kv_len, interpret)
     return o, (q, k, v, o, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, res, g):
-    return _flash_bwd(scale, block_q, block_k, res, g)
+def _flash_bwd_rule(scale, block_q, block_k, kv_len, interpret, res, g):
+    return _flash_bwd(scale, block_q, block_k, kv_len, interpret, res, g)
 
 
 _flash_attention_bhsd.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -311,14 +340,17 @@ def _pad_to(x, axis, multiple):
 
 def flash_attention(q, k, v, scale: float | None = None,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False):
     """BSHD flash attention: q (B, Sq, H, D), k/v (B, Sk, H, D).
 
-    Heads fold into the batch grid axis. Sequences are zero-padded to lane
-    multiples; padded KV positions are masked out by construction (their
-    keys are zero => scores equal for pad rows, but pad rows only affect pad
-    queries which are sliced away; pad KEYS however would corrupt softmax,
-    so Sk is padded with -inf masking via a bias trick below).
+    Heads fold into the batch grid axis.  Sequences are zero-padded to
+    128-lane multiples: padded KV columns are -inf-masked inside the kernel
+    (iota vs the real kv length), and padded Q rows are sliced away (their
+    cotangents are zero through the slice VJP, so they contribute nothing
+    to dK/dV).  head_dim stays native -- a full-dim minor block is
+    Mosaic-legal for any D, and padding D to 128 would double the kernel
+    FLOPs at this model's D=64.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -331,32 +363,16 @@ def flash_attention(q, k, v, scale: float | None = None,
 
     qf, kf, vf = to_bhsd(q), to_bhsd(k), to_bhsd(v)
 
-    # pad seq dims to 128 lanes; pad head_dim to 128 as MXU minor dim
-    qf, orig_sq = _pad_to(qf, 1, 128)
-    kf, orig_sk = _pad_to(kf, 1, 128)
-    vf, _ = _pad_to(vf, 1, 128)
-    qf, _ = _pad_to(qf, 2, 128)
-    kf, _ = _pad_to(kf, 2, 128)
-    vf, _ = _pad_to(vf, 2, 128)
+    # pad sequences to the block size (not just 128): an awkward length
+    # like 2880 -> 2944 = 128*23 would force 128-wide blocks everywhere,
+    # while 2880 -> 3072 keeps full-width blocks for 4% padding overhead
+    q_mult = min(block_q, 1 << max((sq - 1).bit_length(), 7))
+    k_mult = min(block_k, 1 << max((sk - 1).bit_length(), 7))
+    qf, orig_sq = _pad_to(qf, 1, q_mult)
+    kf, orig_sk = _pad_to(kf, 1, k_mult)
+    vf, _ = _pad_to(vf, 1, k_mult)
 
-    if kf.shape[1] != orig_sk:
-        # mask padded keys: set them to a huge negative via a sentinel key
-        # dimension is not possible without bias support; instead give the
-        # padded keys the value of the first key and rely on zero V rows --
-        # WRONG for softmax weights. Correct approach: append a bias by
-        # making padded K rows equal -inf contribution. We emulate by
-        # scaling padded K rows to 0 and subtracting a large constant from
-        # their logits using an extra channel: q gets a constant 1 channel,
-        # padded k rows get -LARGE in that channel, real rows 0.
-        extra_q = jnp.ones(qf.shape[:2] + (1,), qf.dtype)
-        mask_col = jnp.zeros((kf.shape[0], kf.shape[1], 1), kf.dtype)
-        mask_col = mask_col.at[:, orig_sk:, :].set(NEG_INF / scale / 2)
-        qf = jnp.concatenate([qf, extra_q], axis=-1)
-        kf = jnp.concatenate([kf, mask_col], axis=-1)
-        # re-pad feature dim to lane multiple
-        qf, _ = _pad_to(qf, 2, 128)
-        kf, _ = _pad_to(kf, 2, 128)
-
-    o = _flash_attention_bhsd(qf, kf, vf, float(scale), block_q, block_k)
-    o = o[:, :orig_sq, :d]
+    o = _flash_attention_bhsd(qf, kf, vf, float(scale), block_q,
+                              block_k, orig_sk, interpret)
+    o = o[:, :orig_sq, :]
     return o.reshape(b, h, orig_sq, d).transpose(0, 2, 1, 3)
