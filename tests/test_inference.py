@@ -1,0 +1,119 @@
+"""Inference stack: windowed round-robin diffuse, prompt weighting, LaMa
+gating, end-to-end programmatic inference (SURVEY §4 integration items)."""
+
+import numpy as np
+import pytest
+
+
+def test_inpaint_watermark_without_ckpt_is_identity(monkeypatch, tmp_path):
+    from text_to_video_finetuning_tpu.models.lama import inpaint_watermark
+    monkeypatch.delenv("LAMA_CKPT", raising=False)
+    imgs = np.random.RandomState(0).rand(2, 3, 32, 32).astype(np.float32)
+    out = inpaint_watermark(imgs)
+    np.testing.assert_array_equal(out, imgs)
+
+
+def test_default_watermark_mask_bottom_right():
+    from text_to_video_finetuning_tpu.models.lama import (
+        default_watermark_mask)
+    m = default_watermark_mask(256, 256)
+    assert m.shape == (256, 256, 1)
+    assert m[:200, :].sum() == 0          # top untouched
+    assert m[220:, 180:].all()            # bottom-right covered
+
+
+def test_prompt_weighting_syntax(tiny_pipeline_dir):
+    """compel-equivalent: (word)1.3 up-weights; plain prompt == unweighted
+    encode (reference inference.py:300-301 uses compel)."""
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+    from text_to_video_finetuning_tpu.utils.prompt_weighting import (
+        encode_weighted_prompt, parse_weighted_prompt)
+
+    segs = parse_weighted_prompt("a (fast)1.3 car")
+    assert ("fast", pytest.approx(1.3)) in [(t, w) for t, w in segs]
+
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    plain = encode_weighted_prompt(pipe, ["a fast car"])
+    weighted = encode_weighted_prompt(pipe, ["a (fast)1.5 car"])
+    baseline = pipe.encode_prompt(["a fast car"],
+                                  do_classifier_free_guidance=False)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(baseline),
+                               atol=1e-5)
+    assert np.abs(np.asarray(weighted) - np.asarray(plain)).max() > 1e-4
+
+
+def test_diffuse_windowed_runs_and_unrotates(tiny_pipeline_dir):
+    """Windowed round-robin path (window < frames, prime-shift rotation)
+    produces finite latents of the right shape
+    (reference inference.py:153-267)."""
+    import jax.numpy as jnp
+    from text_to_video_finetuning_tpu.pipelines.diffuse import (diffuse,
+                                                                primes_up_to)
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+
+    assert list(primes_up_to(12)) == [2, 3, 5, 7, 11]
+
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    latents = jnp.zeros((1, 4, 4, 8, 8))
+    out = diffuse(pipe=pipe, latents=latents, init_weight=0,
+                  prompt=["a test"], negative_prompt=None,
+                  num_inference_steps=3, guidance_scale=7.0,
+                  window_size=2, rotate=True, seed=0)
+    assert out.shape == latents.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_diffuse_full_window_matches_pipeline_loop(tiny_pipeline_dir):
+    """window_size == num_frames, no rotation: diffuse must equal the plain
+    full-clip DPM-Solver loop (SURVEY §4: windowed vs full equivalence)."""
+    import jax
+    import jax.numpy as jnp
+    from text_to_video_finetuning_tpu.pipelines.diffuse import diffuse
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+    from text_to_video_finetuning_tpu.schedulers.dpmsolver import (
+        DPMSolverMultistepScheduler)
+
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    shape = (1, 4, 2, 8, 8)
+    steps, guidance = 3, 7.0
+
+    out_w = diffuse(pipe=pipe, latents=jnp.zeros(shape), init_weight=0,
+                    prompt=["a test"], negative_prompt=None,
+                    num_inference_steps=steps, guidance_scale=guidance,
+                    window_size=2, rotate=False, seed=0)
+
+    # manual full loop with the same rng stream as diffuse's init path
+    rng = jax.random.PRNGKey(0)
+    rng, key = jax.random.split(rng)
+    latents = jax.random.normal(key, shape, jnp.float32)
+    embeds = pipe.encode_prompt(["a test"], None, True)
+    sched = DPMSolverMultistepScheduler(pipe.scheduler_config,
+                                        solver_order=2)
+    timesteps = sched.set_timesteps(steps)
+    state = sched.init_state(shape)
+    for i, t in enumerate(timesteps):
+        latent_in = jnp.concatenate([latents] * 2)
+        pred = pipe._unet_apply(pipe.unet_params, latent_in,
+                                jnp.full((2,), t), embeds)
+        uncond, text = jnp.split(pred, 2, axis=0)
+        pred = uncond + guidance * (text - uncond)
+        latents, state = sched.step(pred, i, latents, state)
+
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(latents),
+                               atol=1e-4)
+
+
+def test_inference_end_to_end(tiny_pipeline_dir):
+    """Programmatic inference() (reference inference.py:270-333): prompt in,
+    (B, C, F, H, W) video out, finite, in [-1, 1]-ish decode range."""
+    from text_to_video_finetuning_tpu.pipelines.inference import inference
+    video = inference(model=tiny_pipeline_dir, prompt="a test video",
+                      width=32, height=32, num_frames=4, window_size=2,
+                      num_steps=2, guidance_scale=7.0, vae_batch_size=4,
+                      use_fused_attention=False, seed=1)
+    assert video.shape[0] == 1 and video.shape[1] == 3
+    assert video.shape[2] == 4
+    assert np.isfinite(video).all()
