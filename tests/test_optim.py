@@ -1,0 +1,72 @@
+"""Optimizer stack: 8-bit AdamW vs fp32 AdamW, LR schedules, grad clip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_adamw_8bit_state_is_int8():
+    from text_to_video_finetuning_tpu.ops.quantized_adam import adamw_8bit
+    params = {"w": jnp.ones((300, 7))}
+    opt = adamw_8bit(1e-3)
+    state = opt.init(params)
+    assert state.mu["w"].values.dtype == jnp.int8
+    assert state.nu["w"].values.dtype == jnp.int8
+    # blockwise layout: ceil(2100/256)*256 elements
+    assert state.mu["w"].values.size == 2304
+
+
+def test_adamw_8bit_tracks_fp32_adamw():
+    """Quadratic descent: the quantized optimizer must track full-precision
+    AdamW to a small relative error (the bitsandbytes claim)."""
+    import optax
+    from text_to_video_finetuning_tpu.ops.quantized_adam import adamw_8bit
+
+    target = jnp.asarray(np.random.RandomState(0).randn(257).astype(
+        np.float32))
+
+    def loss(p):
+        return jnp.sum((p["w"] - target) ** 2)
+
+    def run(opt, steps=150):
+        params = {"w": jnp.zeros(257)}
+        state = opt.init(params)
+        for _ in range(steps):
+            g = jax.grad(loss)(params)
+            updates, state = opt.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        return params["w"], float(loss(params))
+
+    w8, l8 = run(adamw_8bit(3e-2, weight_decay=0.0))
+    w32, l32 = run(optax.adamw(3e-2, weight_decay=0.0))
+    assert l8 < 0.05 * float(jnp.sum(target ** 2))   # actually converges
+    # trajectories stay close
+    assert float(jnp.abs(w8 - w32).max()) < 0.15
+
+
+def test_lr_schedules():
+    from text_to_video_finetuning_tpu.training.optim import get_lr_schedule
+    import pytest
+    const = get_lr_schedule("constant", 5e-6, 0, 100)
+    assert float(const(0)) == float(const(99)) == pytest.approx(5e-6)
+    warm = get_lr_schedule("constant_with_warmup", 1e-4, 10, 100)
+    assert float(warm(0)) < float(warm(9)) < float(warm(10))
+    assert float(warm(10)) == float(warm(50)) == pytest.approx(1e-4)
+    cos = get_lr_schedule("cosine", 1e-4, 0, 100)
+    assert float(cos(0)) > float(cos(99))
+
+
+def test_grad_clip_bounds_update_norm():
+    import optax
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    opt = get_optimizer(get_lr_schedule("constant", 1.0, 0, 10),
+                        max_grad_norm=0.5)
+    params = {"w": jnp.zeros(16)}
+    state = opt.init(params)
+    huge = {"w": jnp.full(16, 1e6)}
+    updates, _ = opt.update(huge, state, params)
+    # post-clip gradient norm is 0.5; Adam normalizes again, so just check
+    # the update is finite and bounded by the lr
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    assert float(jnp.abs(updates["w"]).max()) <= 1.0 + 1e-5
