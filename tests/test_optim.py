@@ -53,7 +53,7 @@ def test_lr_schedules():
     assert float(warm(0)) < float(warm(9)) < float(warm(10))
     assert float(warm(10)) == float(warm(50)) == pytest.approx(1e-4)
     cos = get_lr_schedule("cosine", 1e-4, 0, 100)
-    assert float(cos(0)) > float(cos(99))
+    assert float(cos(1)) > float(cos(99))   # cos(0) is the 1-step warmup
 
 
 def test_grad_clip_bounds_update_norm():
