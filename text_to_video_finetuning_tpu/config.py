@@ -78,6 +78,7 @@ class TrainConfig:
     mesh_dp: int = -1           # -1: all devices on the data axis
     mesh_fsdp: int = 1
     mesh_tp: int = 1
+    mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
     eval_train: bool = False
     profile_steps: int = 0      # if >0, capture a jax profiler trace

@@ -25,19 +25,24 @@ class MeshConfig:
     dp: int = -1     # -1: all remaining devices
     fsdp: int = 1
     tp: int = 1
+    # sequence parallelism over the FRAME axis (SURVEY §5.7: the reference
+    # has no sequence-length scaling beyond serial windowing; here frames
+    # shard across ICI and XLA inserts the all-to-alls at the
+    # spatial<->temporal module boundaries)
+    sp: int = 1
 
 
 def make_mesh(config: MeshConfig = MeshConfig(),
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    rest = config.fsdp * config.tp * config.sp
     dp = config.dp
     if dp == -1:
-        assert n % (config.fsdp * config.tp) == 0, (
-            f"{n} devices not divisible by fsdp*tp="
-            f"{config.fsdp * config.tp}")
-        dp = n // (config.fsdp * config.tp)
-    assert dp * config.fsdp * config.tp == n, (
-        f"mesh {dp}x{config.fsdp}x{config.tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, config.fsdp, config.tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+        assert n % rest == 0, (
+            f"{n} devices not divisible by fsdp*tp*sp={rest}")
+        dp = n // rest
+    assert dp * rest == n, (
+        f"mesh {dp}x{config.fsdp}x{config.tp}x{config.sp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, config.fsdp, config.tp, config.sp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))

@@ -71,9 +71,17 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh, batch_axis: int = 0):
-    spec = [None] * (batch_axis + 1)
+def batch_sharding(mesh: Mesh, batch_axis: int = 0,
+                   frame_axis: Optional[int] = None):
+    """Batch over 'dp'; optionally the frame axis over 'sp' (sequence
+    parallelism -- XLA inserts all-to-alls where the model reshapes frames
+    between the spatial fold (B*F as batch) and temporal modules)."""
+    n = max(batch_axis + 1,
+            (frame_axis + 1) if frame_axis is not None else 0)
+    spec = [None] * n
     spec[batch_axis] = "dp"
+    if frame_axis is not None and mesh.shape.get("sp", 1) > 1:
+        spec[frame_axis] = "sp"
     return NamedSharding(mesh, P(*spec))
 
 

@@ -225,7 +225,7 @@ def main(**kwargs):
 
     # mesh (the Accelerate process-group analog)
     mesh = make_mesh(MeshConfig(dp=cfg.mesh_dp, fsdp=cfg.mesh_fsdp,
-                                tp=cfg.mesh_tp))
+                                tp=cfg.mesh_tp, sp=cfg.mesh_sp))
     n_devices = int(np.prod(list(mesh.shape.values())))
 
     # models
@@ -386,7 +386,10 @@ def main(**kwargs):
         frozen = shard_params(frozen, mesh, use_fsdp=use_fsdp, use_tp=False)
         vae_params_d = shard_params(vae_params, mesh, use_fsdp=False,
                                     use_tp=False)
-        data_sharding = batch_sharding(mesh)
+        # frame axis: (B, 4, F, h, w) cached latents vs (B, F, C, H, W) raw
+        data_sharding = batch_sharding(
+            mesh, frame_axis=2 if cfg.cache_latents else 1)
+        ids_sharding = batch_sharding(mesh)
 
         jit_step = jax.jit(train_step, donate_argnums=(0,))
 
@@ -446,7 +449,7 @@ def main(**kwargs):
                         np.asarray(batch["pixel_values"], np.float32),
                         data_sharding),
                     "prompt_ids": _put_global_batch(
-                        np.asarray(batch["prompt_ids"]), data_sharding),
+                        np.asarray(batch["prompt_ids"]), ids_sharding),
                 }
                 if cfg.profile_steps and global_step == 2:
                     jax.profiler.start_trace(profile_dir)
