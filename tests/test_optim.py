@@ -70,3 +70,21 @@ def test_grad_clip_bounds_update_norm():
     # the update is finite and bounded by the lr
     assert np.isfinite(np.asarray(updates["w"])).all()
     assert float(jnp.abs(updates["w"]).max()) <= 1.0 + 1e-5
+
+
+def test_group_overrides_apply_distinct_lr():
+    """extra_unet_params-style per-group hyperparams
+    (reference train.py:205-236 param groups)."""
+    import optax
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    opt = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 10),
+                        adam_weight_decay=0.0, max_grad_norm=0.0,
+                        group_overrides={"unet": {"learning_rate": 1e-1}})
+    params = {"unet": {"w": jnp.zeros(4)}, "text": {"w": jnp.zeros(4)}}
+    state = opt.init(params)
+    grads = {"unet": {"w": jnp.ones(4)}, "text": {"w": jnp.ones(4)}}
+    updates, _ = opt.update(grads, state, params)
+    # Adam step magnitude ~= lr for a constant gradient
+    assert abs(float(updates["unet"]["w"][0])) > 50 * abs(
+        float(updates["text"]["w"][0]))

@@ -304,9 +304,19 @@ def main(**kwargs):
     # optimizer
     schedule = get_lr_schedule(cfg.lr_scheduler, learning_rate,
                                cfg.lr_warmup_steps, cfg.max_train_steps)
+    # per-model hyperparam overrides (reference extra_unet_params /
+    # extra_text_encoder_params, applied to the base AND lora groups)
+    group_overrides = {}
+    if cfg.extra_unet_params:
+        group_overrides["unet"] = dict(cfg.extra_unet_params)
+        group_overrides["unet_lora"] = dict(cfg.extra_unet_params)
+    if cfg.extra_text_encoder_params:
+        group_overrides["text"] = dict(cfg.extra_text_encoder_params)
+        group_overrides["text_lora"] = dict(cfg.extra_text_encoder_params)
     optimizer = get_optimizer(
         schedule, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_weight_decay,
-        cfg.adam_epsilon, cfg.max_grad_norm, cfg.use_8bit_adam)
+        cfg.adam_epsilon, cfg.max_grad_norm, cfg.use_8bit_adam,
+        group_overrides=group_overrides or None)
     if cfg.gradient_accumulation_steps > 1:
         optimizer = optax.MultiSteps(
             optimizer, every_k_schedule=cfg.gradient_accumulation_steps)

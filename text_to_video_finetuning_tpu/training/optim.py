@@ -49,21 +49,50 @@ def get_lr_schedule(name: str, learning_rate: float, warmup_steps: int,
 def get_optimizer(learning_rate_schedule, adam_beta1: float = 0.9,
                   adam_beta2: float = 0.999, adam_weight_decay: float = 1e-2,
                   adam_epsilon: float = 1e-8, max_grad_norm: float = 1.0,
-                  use_8bit_adam: bool = False):
+                  use_8bit_adam: bool = False, group_overrides=None):
     """AdamW chain with global-norm clipping. `use_8bit_adam` selects a
     quantized-moment variant (the bitsandbytes AdamW8bit analog) that keeps
-    optimizer state in int8 with per-block scales to halve HBM pressure."""
-    if use_8bit_adam:
-        from ..ops.quantized_adam import adamw_8bit
-        opt = adamw_8bit(learning_rate_schedule, b1=adam_beta1,
-                         b2=adam_beta2, eps=adam_epsilon,
-                         weight_decay=adam_weight_decay)
+    optimizer state in int8 with per-block scales to halve HBM pressure.
+
+    `group_overrides` maps a top-level trainable key ('unet', 'text', ...)
+    to {'learning_rate', 'adam_weight_decay', 'adam_beta1', 'adam_beta2',
+    'adam_epsilon'} -- the per-model param-group hyperparams of the
+    reference's create_optimizer_params / extra_unet_params
+    (reference train.py:205-236).  (The reference overwrites
+    extra_text_encoder_params with extra_unet_params, train.py:575-576 --
+    a bug we do not reproduce.)"""
+
+    def make(lr, wd, b1, b2, eps):
+        if use_8bit_adam:
+            from ..ops.quantized_adam import adamw_8bit
+            return adamw_8bit(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+        return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+
+    if not group_overrides:
+        opt = make(learning_rate_schedule, adam_weight_decay, adam_beta1,
+                   adam_beta2, adam_epsilon)
     else:
-        opt = optax.adamw(learning_rate_schedule, b1=adam_beta1,
-                          b2=adam_beta2, eps=adam_epsilon,
-                          weight_decay=adam_weight_decay)
-    transforms = []
+        transforms = {"default": make(learning_rate_schedule,
+                                      adam_weight_decay, adam_beta1,
+                                      adam_beta2, adam_epsilon)}
+        for group, ov in group_overrides.items():
+            transforms[group] = make(
+                ov.get("learning_rate", learning_rate_schedule),
+                ov.get("adam_weight_decay", adam_weight_decay),
+                ov.get("adam_beta1", adam_beta1),
+                ov.get("adam_beta2", adam_beta2),
+                ov.get("adam_epsilon", adam_epsilon))
+
+        def label_fn(params):
+            import jax
+            return {k: jax.tree_util.tree_map(
+                lambda _: k if k in transforms else "default", v)
+                for k, v in params.items()}
+
+        opt = optax.multi_transform(transforms, label_fn)
+
+    chain = []
     if max_grad_norm and max_grad_norm > 0:
-        transforms.append(optax.clip_by_global_norm(max_grad_norm))
-    transforms.append(opt)
-    return optax.chain(*transforms)
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(opt)
+    return optax.chain(*chain)
