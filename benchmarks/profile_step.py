@@ -1,0 +1,87 @@
+"""Capture a jax.profiler trace of the headline train step and print the
+top HLO ops by self-time (uses tensorboard_plugin_profile's xplane parser).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/profile_step.py [trace_dir]
+With an existing trace dir argument, skips capture and just summarizes.
+"""
+
+import glob
+import json
+import os
+import sys
+
+
+def summarize(trace_dir: str, top: int = 30):
+    """Aggregate device-track op durations from the chrome trace json."""
+    import gzip
+    import re
+    from collections import defaultdict
+
+    traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    if not traces:
+        print(f"no trace.json.gz under {trace_dir}")
+        return
+    path = max(traces, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+
+    # identify device process ids (TPU/TensorCore tracks)
+    device_pids = set()
+    all_pids = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            all_pids.add(e["pid"])
+            pname = e.get("args", {}).get("name", "")
+            if any(s in pname for s in ("TPU", "Device", "/device:")):
+                device_pids.add(e["pid"])
+    if not device_pids:
+        device_pids = all_pids   # CPU runs: the host track IS the device
+
+    by_op = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        dur = e.get("dur", 0)
+        name = e.get("name", "?")
+        # strip instance suffixes: fusion.123 -> fusion
+        base = re.sub(r"[.\d]+$", "", name)
+        by_op[base] += dur
+        total += dur
+
+    print(f"== device op self-time from {os.path.basename(path)} "
+          f"(total {total / 1e3:.1f} ms across traced steps) ==")
+    for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur / 1e3:10.2f} ms  {100 * dur / max(total, 1):5.1f}%  "
+              f"{name}")
+
+
+def capture_and_summarize():
+    import time
+    import jax
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from benchmarks.step_bench import build, run
+
+    jit_step, state, frozen, batch_tree = build(grad_ckpt=True,
+                                                backend="auto")
+    # compile + warm
+    state, metrics = jit_step(state, frozen, None, batch_tree)
+    jax.block_until_ready(metrics["loss"])
+
+    trace_dir = "/tmp/t2v_step_trace"
+    jax.profiler.start_trace(trace_dir)
+    for _ in range(3):
+        state, metrics = jit_step(state, frozen, None, batch_tree)
+    jax.block_until_ready(metrics["loss"])
+    jax.profiler.stop_trace()
+    print(f"trace written to {trace_dir}")
+    summarize(trace_dir)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        summarize(sys.argv[1])
+    else:
+        capture_and_summarize()
