@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build(grad_ckpt: bool, backend: str, frames: int = 16):
+def build(grad_ckpt: bool, backend: str, frames: int = 16,
+          remat_policy: str = "nothing"):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -28,6 +29,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16):
     ucfg = UNET3D_MS_1_7B_CONFIG
     unet = UNet3DConditionModel(config=ucfg, dtype=jnp.bfloat16,
                                 gradient_checkpointing=grad_ckpt,
+                                remat_policy=remat_policy,
                                 attention_backend=backend)
     clip = CLIPTextModel(config=CLIP_MS_TEXT_CONFIG, dtype=jnp.bfloat16)
     batch, latent = 1, 32
@@ -90,6 +92,8 @@ def main():
     args = p.parse_args()
     variants = [
         ("remat+auto", dict(grad_ckpt=True, backend="auto")),
+        ("remat-dots+auto", dict(grad_ckpt=True, backend="auto",
+                                 remat_policy="dots")),
         ("remat+xla", dict(grad_ckpt=True, backend="xla")),
         ("remat+pallas", dict(grad_ckpt=True, backend="pallas")),
         ("noremat+auto", dict(grad_ckpt=False, backend="auto")),

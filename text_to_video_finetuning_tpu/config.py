@@ -80,6 +80,7 @@ class TrainConfig:
     mesh_tp: int = 1
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
+    remat_policy: str = "nothing"     # nothing | dots (grad-ckpt saveables)
     eval_train: bool = False
     profile_steps: int = 0      # if >0, capture a jax profiler trace
     # unknown YAML keys land here (reference **kwargs semantics)

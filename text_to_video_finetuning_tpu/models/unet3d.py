@@ -91,6 +91,9 @@ class UNet3DConditionModel(nn.Module):
     config: UNet3DConfig = UNET3D_MS_1_7B_CONFIG
     dtype: jnp.dtype = jnp.float32
     gradient_checkpointing: bool = False
+    # remat saveable-set: "nothing" (reference-equivalent save-nothing) or
+    # "dots" (keep MXU outputs, recompute elementwise chains only)
+    remat_policy: str = "nothing"
     attention_backend: str = "auto"
 
     def setup(self):
@@ -110,6 +113,7 @@ class UNet3DConditionModel(nn.Module):
 
         common = dict(dropout=0.0,
                       gradient_checkpointing=self.gradient_checkpointing,
+                      remat_policy=self.remat_policy,
                       dtype=self.dtype,
                       attention_backend=self.attention_backend)
 

@@ -23,18 +23,33 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .resnet import Downsample2D, ResnetBlock2D, TemporalConvLayer, Upsample2D
 from .transformers import Transformer2DModel, TransformerTemporalModel
 
 
-def _maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...]):
-    """Wrap a module class with nn.remat (save-nothing policy), matching the
-    reference's per-(resnet, temp_conv, attn, temp_attn) checkpoint units."""
+REMAT_POLICIES = {
+    # save nothing: max memory savings, ~1 extra fwd of recompute
+    "nothing": None,
+    # save MXU (dot/conv) outputs, recompute the cheap elementwise chains:
+    # much less recompute for modestly more live memory
+    "dots": "dots_saveable",
+}
+
+
+def _maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...],
+                 policy: str = "nothing"):
+    """Wrap a module class with nn.remat, matching the reference's
+    per-(resnet, temp_conv, attn, temp_attn) checkpoint units
+    (reference models/unet_3d_blocks.py:30-153). `policy` picks the
+    jax.checkpoint saveable-set (see REMAT_POLICIES)."""
     if not enable:
         return cls
-    return nn.remat(cls, static_argnums=static_argnums)
+    name = REMAT_POLICIES.get(policy, None)
+    jpolicy = getattr(jax.checkpoint_policies, name) if name else None
+    return nn.remat(cls, static_argnums=static_argnums, policy=jpolicy)
 
 
 class CrossAttnDownBlock3D(nn.Module):
@@ -50,6 +65,7 @@ class CrossAttnDownBlock3D(nn.Module):
     add_downsample: bool = True
     dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing"
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -57,10 +73,10 @@ class CrossAttnDownBlock3D(nn.Module):
 
     def setup(self):
         gc = self.gradient_checkpointing
-        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,))
-        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3))
-        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,))
-        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4))
+        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,), self.remat_policy)
+        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3), self.remat_policy)
+        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,), self.remat_policy)
+        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4), self.remat_policy)
 
         resnets, temp_convs, attentions, temp_attentions = [], [], [], []
         for i in range(self.num_layers):
@@ -133,6 +149,7 @@ class DownBlock3D(nn.Module):
     add_downsample: bool = True
     dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing"
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -140,8 +157,8 @@ class DownBlock3D(nn.Module):
 
     def setup(self):
         gc = self.gradient_checkpointing
-        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,))
-        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3))
+        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,), self.remat_policy)
+        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3), self.remat_policy)
 
         resnets, temp_convs = [], []
         for i in range(self.num_layers):
@@ -189,6 +206,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     output_scale_factor: float = 1.0
     dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing"
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -196,10 +214,10 @@ class UNetMidBlock3DCrossAttn(nn.Module):
 
     def setup(self):
         gc = self.gradient_checkpointing
-        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,))
-        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3))
-        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,))
-        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4))
+        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,), self.remat_policy)
+        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3), self.remat_policy)
+        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,), self.remat_policy)
+        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4), self.remat_policy)
 
         resnets = [resnet_cls(
             in_channels=self.in_channels, out_channels=self.in_channels,
@@ -279,6 +297,7 @@ class CrossAttnUpBlock3D(nn.Module):
     add_upsample: bool = True
     dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing"
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -286,10 +305,10 @@ class CrossAttnUpBlock3D(nn.Module):
 
     def setup(self):
         gc = self.gradient_checkpointing
-        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,))
-        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3))
-        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,))
-        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4))
+        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,), self.remat_policy)
+        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3), self.remat_policy)
+        attn_cls = _maybe_remat(Transformer2DModel, gc, (3,), self.remat_policy)
+        temp_attn_cls = _maybe_remat(TransformerTemporalModel, gc, (2, 4), self.remat_policy)
 
         resnets, temp_convs, attentions, temp_attentions = [], [], [], []
         for i in range(self.num_layers):
@@ -369,6 +388,7 @@ class UpBlock3D(nn.Module):
     add_upsample: bool = True
     dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing"
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -376,8 +396,8 @@ class UpBlock3D(nn.Module):
 
     def setup(self):
         gc = self.gradient_checkpointing
-        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,))
-        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3))
+        resnet_cls = _maybe_remat(ResnetBlock2D, gc, (3,), self.remat_policy)
+        temp_conv_cls = _maybe_remat(TemporalConvLayer, gc, (2, 3), self.remat_policy)
 
         resnets, temp_convs = [], []
         for i in range(self.num_layers):

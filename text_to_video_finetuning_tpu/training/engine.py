@@ -239,6 +239,7 @@ def main(**kwargs):
     unet = UNet3DConditionModel(config=unet_config, dtype=compute_dtype,
                                 gradient_checkpointing=
                                 cfg.gradient_checkpointing,
+                                remat_policy=cfg.remat_policy,
                                 attention_backend=backend)
     text_encoder = CLIPTextModel(
         config=clip_config, dtype=compute_dtype,
