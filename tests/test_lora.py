@@ -168,3 +168,65 @@ def test_text_encoder_sites(rng):
     # loralib registration order: k, v, q, out
     assert sel[0].torch_name.endswith("self_attn.k_proj")
     assert sel[3].torch_name.endswith("self_attn.out_proj")
+
+
+def test_safetensors_safeloras_roundtrip(tmp_path, unet_setup, rng):
+    """cloneofsimo .safetensors layout ({name}:{i}:up/down + metadata,
+    reference utils/lora.py:597-629) roundtrips exactly (fp16 storage)."""
+    cfg, _, _, _, _ = unet_setup
+    sites = select_sites(enumerate_unet_sites(cfg), ["Transformer2DModel"])
+    lora = init_lora_params(rng, sites, rank=4)
+    lora = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(rng, x.shape) * 0.01, lora)
+    path = str(tmp_path / "lora.safetensors")
+    formats.save_safeloras({"unet": (lora, sites, {"Transformer2DModel"})},
+                           path)
+    loaded = formats.load_safeloras_into(path, {"unet": sites})["unet"]
+    for a, b in zip(jax.tree_util.tree_leaves(lora),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_stable_lora_full_weights_load_roundtrip(tmp_path, unet_setup, rng):
+    """stable_lora full_weights save -> handler load (resume path,
+    reference utils/lora_handler.py:125-148 + stable_lora load_lora)."""
+    cfg, _, _, _, _ = unet_setup
+    handler = LoraHandler(version="stable_lora", use_unet_lora=True,
+                          unet_replace_modules=["Transformer2DModel"])
+    lora, sites, _ = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                               rng=rng)
+    lora = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(rng, x.shape) * 0.02, lora)
+    handler.save_lora_weights(str(tmp_path), 7, unet_lora=lora,
+                              unet_sites=sites)
+    full = glob_one(tmp_path / "lora" / "full_weights", "*_unet.safetensors")
+    loaded = handler.load_lora_file(str(full), sites)
+    for a, b in zip(jax.tree_util.tree_leaves(lora),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def glob_one(directory, pattern):
+    import glob as globmod
+    matches = globmod.glob(str(directory / pattern))
+    assert len(matches) == 1, matches
+    return matches[0]
+
+
+def test_lora_resume_via_lora_path(tmp_path, unet_setup, rng):
+    """add_lora_to_model with lora_path resumes from the saved .pt
+    (reference README.md:135-139 lora resume)."""
+    cfg, _, _, _, _ = unet_setup
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          unet_replace_modules=["Transformer2DModel"])
+    lora, sites, _ = handler.add_lora_to_model(True, "unet", cfg, r=4,
+                                               rng=rng)
+    lora = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(rng, x.shape) * 0.05, lora)
+    handler.save_lora_weights(str(tmp_path), 9, unet_lora=lora,
+                              unet_sites=sites)
+    lora2, _, _ = handler.add_lora_to_model(
+        True, "unet", cfg, lora_path=str(tmp_path / "lora"), r=4, rng=rng)
+    for a, b in zip(jax.tree_util.tree_leaves(lora),
+                    jax.tree_util.tree_leaves(lora2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
