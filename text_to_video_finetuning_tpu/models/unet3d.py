@@ -198,6 +198,16 @@ class UNet3DConditionModel(nn.Module):
                                 padding=((1, 1), (1, 1)), dtype=self.dtype,
                                 name="conv_out")
 
+    def set_attention_slice(self, slice_size):
+        """Reference API parity (reference models/unet_3d_condition.py:
+        253-316).  Attention slicing trades memory for serial steps on CUDA;
+        on TPU the Pallas flash backend already streams KV in blocks with
+        O(seq) memory (ops/flash_attention.py), so slicing is unnecessary --
+        the call is validated and ignored."""
+        if slice_size is not None and not isinstance(slice_size,
+                                                     (int, str, list)):
+            raise ValueError(f"invalid slice_size {slice_size!r}")
+
     def __call__(self, sample, timesteps, encoder_hidden_states,
                  deterministic: bool = True):
         """sample: (B, C, F, H, W); timesteps: scalar or (B,);

@@ -244,3 +244,13 @@ class AutoencoderKL(nn.Module):
         """Autoencode roundtrip (used for init/shape checks)."""
         z = self.encode(pixels, rng=rng, sample=False)
         return self.decode(z)
+
+    def enable_slicing(self):
+        """Reference API parity (vae.enable_slicing, reference
+        train.py:678, inference.py:74).  Sliced/micro-batched encode-decode
+        lives at the pipeline layer here (`vae_batch_size`,
+        pipelines/text_to_video.py encode_video/decode_latents) because the
+        module itself is pure; accepted as a no-op."""
+
+    def disable_slicing(self):
+        """See enable_slicing."""
