@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 
 def build(grad_ckpt: bool, backend: str, frames: int = 16,
-          remat_policy: str = "nothing"):
+          remat_policy: str = "nothing", two_pass: bool = True):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -63,7 +63,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         unet=unet, text_encoder=clip, vae=None,
         scheduler=DDPMScheduler(SchedulerConfig()),
         unet_sites=tuple(unet_sites), lora_version="cloneofsimo",
-        cache_latents=True, use_offset_noise=False)
+        cache_latents=True, use_offset_noise=False, two_pass=two_pass)
     train_step = make_train_step(step_cfg, optimizer)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        opt_state=optimizer.init(trainable), rng=rng)
@@ -97,6 +97,8 @@ def main():
         ("remat+xla", dict(grad_ckpt=True, backend="xla")),
         ("remat+pallas", dict(grad_ckpt=True, backend="pallas")),
         ("noremat+auto", dict(grad_ckpt=False, backend="auto")),
+        ("singlepass+auto", dict(grad_ckpt=True, backend="auto",
+                                 two_pass=False)),
     ]
     if args.variants:
         variants = [v for v in variants if v[0] in args.variants]

@@ -303,3 +303,53 @@ def test_sp_sharded_step_equals_replicated(tiny_pipeline_dir):
     for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
                     jax.tree_util.tree_leaves(s8.trainable)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_single_pass_knob_halves_unet_work(tiny_pipeline_dir):
+    """two_pass_loss=False with a frozen text path: loss == 2 * loss0 (the
+    expectation-preserving rescale of the skipped redundant pass)."""
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+    optimizer = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 10))
+    base = dict(unet=unet, text_encoder=clip, vae=vae,
+                scheduler=DDPMScheduler(sched_cfg), cache_latents=True,
+                eval_train=True)   # no dropout => losses comparable exactly
+    rng = jax.random.PRNGKey(0)
+    batch = {"pixel_values": jax.random.normal(rng, (1, 4, 4, 4, 4)),
+             "prompt_ids": jnp.ones((1, 77), jnp.int32)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng)
+
+    step1 = make_train_step(TrainStepConfig(**base, two_pass=False),
+                            optimizer)
+    _, m1 = jax.jit(step1)(state, frozen, vae_params, batch)
+    step2 = make_train_step(TrainStepConfig(**base, two_pass=True),
+                            optimizer)
+    _, m2 = jax.jit(step2)(state, frozen, vae_params, batch)
+
+    # single pass: loss == 2 * loss0; with dropout off, the reference-style
+    # second pass computes the identical loss, so both modes agree exactly
+    np.testing.assert_allclose(float(m1["loss"]), 2 * float(m1["loss0"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)

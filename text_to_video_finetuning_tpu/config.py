@@ -81,6 +81,9 @@ class TrainConfig:
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
     remat_policy: str = "nothing"     # nothing | dots (grad-ckpt saveables)
+    # False skips the reference's redundant second UNet pass when the text
+    # encoder is frozen (~2x faster LoRA steps, expectation-equal gradients)
+    two_pass_loss: bool = True
     eval_train: bool = False
     profile_steps: int = 0      # if >0, capture a jax profiler trace
     # unknown YAML keys land here (reference **kwargs semantics)

@@ -371,7 +371,8 @@ def main(**kwargs):
         scaling_factor=vae_config.scaling_factor,
         mixed_precision=cfg.mixed_precision,
         eval_train=bool(cfg.eval_train
-                        or cfg.extra_kwargs.get("eval_train", False)))
+                        or cfg.extra_kwargs.get("eval_train", False)),
+        two_pass=cfg.two_pass_loss)
     train_step = make_train_step(step_cfg, optimizer)
 
     # shard: params replicated (fsdp shards if configured), batch over dp

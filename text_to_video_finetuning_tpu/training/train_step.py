@@ -66,6 +66,15 @@ class TrainStepConfig:
     # reference eval_train kwarg (train.py:779-781): run the models in eval
     # mode during training (disables dropout)
     eval_train: bool = False
+    # The reference ALWAYS runs two UNet passes when frames > 1
+    # (train.py:813-829 `for i in range(2)`), even with a frozen text
+    # encoder -- where pass 1 repeats pass 0 on the same inputs (only the
+    # dropout draw differs) and merely doubles the gradient in expectation.
+    # two_pass=False skips that redundant pass and scales the loss by 2 for
+    # an expectation-equivalent trajectory at ~half the step cost; when the
+    # text path IS trainable the second (frame-1, trainable-text) pass is
+    # load-bearing and always runs.
+    two_pass: bool = True
 
 
 def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
@@ -163,8 +172,8 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         # pass 0: full clip; detach text when multi-frame
         hs0 = (jax.lax.stop_gradient(hidden_states) if video_length > 1
                else hidden_states)
-        loss0 = unet_fwd(noisy_latents, target, hs0, k0)
-        losses = [loss0]
+        raw_loss0 = unet_fwd(noisy_latents, target, hs0, k0)
+        losses = [raw_loss0]
 
         if video_length > 1:
             # pass 1: reference runs a second pass; frame-1-only when the
@@ -172,12 +181,17 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
             if text_trainable:
                 nl = noisy_latents[:, :, 1:2]
                 tg = target[:, :, 1:2]
+                losses.append(unet_fwd(nl, tg, hidden_states, k1))
+            elif cfg.two_pass:
+                losses.append(unet_fwd(noisy_latents, target,
+                                       hidden_states, k1))
             else:
-                nl, tg = noisy_latents, target
-            losses.append(unet_fwd(nl, tg, hidden_states, k1))
+                # skipped redundant pass: x2 keeps the expected gradient
+                # equal to the reference's summed two-pass loss
+                losses[0] = losses[0] * 2.0
 
         loss = sum(losses)
-        aux = {"loss0": losses[0],
+        aux = {"loss0": raw_loss0,
                "loss1": losses[1] if len(losses) > 1 else jnp.zeros(())}
         return loss, aux
 
