@@ -96,15 +96,16 @@ def main():
     import jax
     jit_step, state, frozen, batch_tree = build()
 
-    # warmup/compile
+    # warmup/compile (float() forces a host readback: block_until_ready on
+    # the tunneled TPU can return before the queue drains)
     state, metrics = jit_step(state, frozen, None, batch_tree)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = jit_step(state, frozen, None, batch_tree)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])   # drain the dispatch queue
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

@@ -77,12 +77,14 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
 
 
 def run(jit_step, state, frozen, batch_tree, n=8):
+    # float() readback drains the queue; block_until_ready on the tunneled
+    # TPU can return before all dispatched steps execute
     state, metrics = jit_step(state, frozen, None, batch_tree)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
         state, metrics = jit_step(state, frozen, None, batch_tree)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     return (time.perf_counter() - t0) / n
 
 
