@@ -57,7 +57,11 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         True, "unet", ucfg, r=16, rng=rng)
 
     trainable = {"unet_lora": unet_lora}
-    frozen = {"unet": unet_params, "text": text_params}
+    # frozen params in bf16 (reference casts frozen models to half,
+    # train.py:680-686): halves their HBM read traffic per UNet pass
+    frozen = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        {"unet": unet_params, "text": text_params})
     optimizer = get_optimizer(get_lr_schedule("constant", 5e-6, 0, 100))
     step_cfg = TrainStepConfig(
         unet=unet, text_encoder=clip, vae=None,

@@ -284,6 +284,18 @@ def main(**kwargs):
     text_trainable, text_frozen = select_trainable(
         text_params, "text_encoder", text_modules, text_negation)
 
+    # reference train.py:680-686: frozen models run in half precision
+    # (trainable params stay fp32 = classic mixed precision); storing the
+    # frozen 1.4B-param tree in bf16 also halves its HBM read traffic per
+    # UNet pass and removes the per-layer fp32->bf16 converts
+    if compute_dtype == jnp.bfloat16:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(np.float32).astype(jnp.bfloat16)
+            if hasattr(x, "astype") else x, t)
+        unet_frozen = cast(unet_frozen)
+        text_frozen = cast(text_frozen)
+        vae_params = cast(vae_params)
+
     trainable = {}
     if unet_trainable:
         trainable["unet"] = unet_trainable
