@@ -353,3 +353,17 @@ def test_single_pass_knob_halves_unet_work(tiny_pipeline_dir):
                                rtol=1e-6)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
+
+
+def test_grad_accumulation_counts_optimizer_updates(tiny_pipeline_dir,
+                                                    tiny_video, tmp_path):
+    """max_train_steps is in OPTIMIZER updates (reference sync_gradients
+    counting): with accumulation k the run consumes k micro-batches per
+    counted step and the final checkpoint name reflects update count."""
+    from text_to_video_finetuning_tpu.training.engine import main
+    out_dir = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        gradient_accumulation_steps=2, max_train_steps=2,
+        checkpointing_steps=2, shuffle=False))
+    # checkpoint saved at optimizer update 2 (4 micro-batches in)
+    assert os.path.isdir(os.path.join(out_dir, "checkpoint-2"))

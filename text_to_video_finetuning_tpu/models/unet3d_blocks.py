@@ -47,7 +47,10 @@ def _maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...],
     jax.checkpoint saveable-set (see REMAT_POLICIES)."""
     if not enable:
         return cls
-    name = REMAT_POLICIES.get(policy, None)
+    if policy not in REMAT_POLICIES:
+        raise ValueError(f"unknown remat_policy {policy!r}; "
+                         f"options: {sorted(REMAT_POLICIES)}")
+    name = REMAT_POLICIES[policy]
     jpolicy = getattr(jax.checkpoint_policies, name) if name else None
     return nn.remat(cls, static_argnums=static_argnums, policy=jpolicy)
 

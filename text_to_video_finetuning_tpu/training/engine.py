@@ -118,20 +118,22 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
         encode = jax.jit(lambda p, x, k: vae.apply(
             {"params": p}, x, rng=k, method=AutoencoderKL.encode))
         rng = jax.random.PRNGKey(cfg.seed or 0)
-        n = 0
-        for batch in loader:
-            for j in range(len(batch["text_prompt"])):
-                rng, key = jax.random.split(rng)
-                px = jnp.asarray(batch["pixel_values"][j])   # (F, C, H, W)
-                lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
-                lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
-                np.savez(
-                    f"{cache_dir}/cached_{n}.npz",
-                    pixel_values=np.asarray(lat, dtype=np.float32),
-                    prompt_ids=np.asarray(batch["prompt_ids"][j]),
-                    text_prompt=batch["text_prompt"][j],
-                    dataset=batch["dataset"][j])
-                n += 1
+        # iterate the DATASET (not the padded training loader, whose
+        # wrap-around pad would bake duplicate items into the cache);
+        # hosts stride-shard the items
+        dataset = loader.dataset
+        for n, idx in enumerate(range(proc, len(dataset), n_proc)):
+            item = dataset[idx]
+            rng, key = jax.random.split(rng)
+            px = jnp.asarray(item["pixel_values"])       # (F, C, H, W)
+            lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
+            lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
+            np.savez(
+                f"{cache_dir}/cached_{n}.npz",
+                pixel_values=np.asarray(lat, dtype=np.float32),
+                prompt_ids=np.asarray(item["prompt_ids"]),
+                text_prompt=item["text_prompt"],
+                dataset=item["dataset"])
     return DataLoader(CachedDataset(cache_dir=cache_dir),
                       batch_size=local_bs, shuffle=False, num_workers=0,
                       pad_last=True, num_shards=shards[0],
@@ -188,13 +190,20 @@ def maybe_init_distributed():
     """Multi-host: bring up the JAX distributed service when a coordinator
     is configured (TPU pods set this via environment; single-host runs are
     untouched).  This is the DCN analog of the reference's NCCL process
-    group init (reference train.py:518-523)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    group init (reference train.py:518-523).
+
+    Must run before ANY backend-initializing jax call (including
+    jax.process_count()), so the only gate is the env var; initialize()
+    itself raises cleanly if called twice."""
     coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
              or os.environ.get("COORDINATOR_ADDRESS"))
-    if coord:
+    if not coord:
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError as e:
+        # already initialized (e.g. caller did it), or backend already up
+        logger.warning(f"jax.distributed.initialize skipped: {e}")
 
 
 def _put_global_batch(arr, sharding):
@@ -329,7 +338,7 @@ def main(**kwargs):
     optimizer = get_optimizer(
         schedule, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_weight_decay,
         cfg.adam_epsilon, cfg.max_grad_norm, cfg.use_8bit_adam,
-        group_overrides=group_overrides or None)
+        group_overrides=group_overrides or None, base_lr=learning_rate)
     if cfg.gradient_accumulation_steps > 1:
         optimizer = optax.MultiSteps(
             optimizer, every_k_schedule=cfg.gradient_accumulation_steps)
@@ -382,8 +391,7 @@ def main(**kwargs):
         offset_noise_strength=cfg.offset_noise_strength,
         scaling_factor=vae_config.scaling_factor,
         mixed_precision=cfg.mixed_precision,
-        eval_train=bool(cfg.eval_train
-                        or cfg.extra_kwargs.get("eval_train", False)),
+        eval_train=bool(cfg.eval_train),
         two_pass=cfg.two_pass_loss)
     train_step = make_train_step(step_cfg, optimizer)
 
@@ -417,10 +425,13 @@ def main(**kwargs):
 
         jit_step = jax.jit(train_step, donate_argnums=(0,))
 
+        # epochs sized in MICRO-batches: an optimizer update may span epoch
+        # boundaries when len(loader) < gradient_accumulation_steps
+        total_micro = cfg.max_train_steps * cfg.gradient_accumulation_steps
+        num_train_epochs = math.ceil(total_micro
+                                     / max(len(train_dataloader), 1))
         num_update_steps_per_epoch = math.ceil(
             len(train_dataloader) / cfg.gradient_accumulation_steps)
-        num_train_epochs = math.ceil(cfg.max_train_steps
-                                     / max(num_update_steps_per_epoch, 1))
         total_batch_size = (global_batch_size
                             * cfg.gradient_accumulation_steps)
         logger.info("***** Running training *****")
@@ -434,17 +445,30 @@ def main(**kwargs):
         models = {"unet_config": unet_config, "clip_config": clip_config,
                   "vae_config": vae_config,
                   "scheduler_config": scheduler_config}
-        global_step = int(jax.device_get(state.step))
+        # state.step counts micro-batches (jit_step calls); global_step
+        # counts optimizer updates like the reference
+        micro_step = int(jax.device_get(state.step))
+        global_step = micro_step // cfg.gradient_accumulation_steps
+        run_steps = 0
         last_prompt = ""
         t_start = time.time()
 
         # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
         # the reference has no tracing subsystem; here it is first-class)
         td = cfg.train_data or {}
+        text_is_trainable = ("text" in trainable) or ("text_lora"
+                                                      in trainable)
+        if not cfg.two_pass_loss and not text_is_trainable:
+            pass1 = "none"
+        elif text_is_trainable:
+            pass1 = "frame1"
+        else:
+            pass1 = "full"
         timer = StepTimer(flops_per_step=unet3d_flops_per_step(
             unet_config, batch=global_batch_size,
             frames=td.get("n_sample_frames", 16),
-            height=td.get("height", 256), width=td.get("width", 256)))
+            height=td.get("height", 256), width=td.get("width", 256),
+            pass1=pass1))
         profile_dir = os.path.join(output_dir, "profile")
 
         def current_params():
@@ -475,17 +499,27 @@ def main(**kwargs):
                     "prompt_ids": _put_global_batch(
                         np.asarray(batch["prompt_ids"]), ids_sharding),
                 }
-                if cfg.profile_steps and global_step == 2:
+                # profiler window counts steps since THIS run started (a
+                # resumed run's global_step never passes small thresholds)
+                if cfg.profile_steps and run_steps == 1:
                     jax.profiler.start_trace(profile_dir)
                 state, metrics = jit_step(state, frozen, vae_params_d,
                                           device_batch)
-                global_step += 1
+                micro_step += 1
+                run_steps += 1
                 if (cfg.profile_steps
-                        and global_step == 2 + cfg.profile_steps):
+                        and run_steps == 1 + cfg.profile_steps):
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     logger.info(f"profiler trace written to {profile_dir}")
                 timer.tick()
+
+                # reference semantics: global_step counts OPTIMIZER updates
+                # (accelerator.sync_gradients, train.py:886-890), one per
+                # gradient_accumulation_steps micro-batches
+                if micro_step % cfg.gradient_accumulation_steps != 0:
+                    continue
+                global_step += 1
 
                 if global_step % 10 == 0 or global_step == 1:
                     m = jax.device_get(metrics)

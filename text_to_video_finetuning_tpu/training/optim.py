@@ -49,7 +49,8 @@ def get_lr_schedule(name: str, learning_rate: float, warmup_steps: int,
 def get_optimizer(learning_rate_schedule, adam_beta1: float = 0.9,
                   adam_beta2: float = 0.999, adam_weight_decay: float = 1e-2,
                   adam_epsilon: float = 1e-8, max_grad_norm: float = 1.0,
-                  use_8bit_adam: bool = False, group_overrides=None):
+                  use_8bit_adam: bool = False, group_overrides=None,
+                  base_lr=None):
     """AdamW chain with global-norm clipping. `use_8bit_adam` selects a
     quantized-moment variant (the bitsandbytes AdamW8bit analog) that keeps
     optimizer state in int8 with per-block scales to halve HBM pressure.
@@ -76,8 +77,20 @@ def get_optimizer(learning_rate_schedule, adam_beta1: float = 0.9,
                                       adam_weight_decay, adam_beta1,
                                       adam_beta2, adam_epsilon)}
         for group, ov in group_overrides.items():
+            lr = learning_rate_schedule
+            if "learning_rate" in ov:
+                # the reference applies its LR scheduler multiplicatively to
+                # every param group's base lr; a numeric override rescales
+                # the shared schedule rather than replacing it
+                ov_lr = float(ov["learning_rate"])
+                if callable(learning_rate_schedule) and base_lr:
+                    ratio = ov_lr / float(base_lr)
+                    sched = learning_rate_schedule
+                    lr = (lambda count, _s=sched, _r=ratio: _s(count) * _r)
+                else:
+                    lr = ov_lr
             transforms[group] = make(
-                ov.get("learning_rate", learning_rate_schedule),
+                lr,
                 ov.get("adam_weight_decay", adam_weight_decay),
                 ov.get("adam_beta1", adam_beta1),
                 ov.get("adam_beta2", adam_beta2),

@@ -15,12 +15,21 @@ import jax
 
 def unet3d_flops_per_step(config, batch: int, frames: int, height: int,
                           width: int, two_pass: bool = True,
-                          backward: bool = True) -> float:
+                          backward: bool = True,
+                          pass1: Optional[str] = None) -> float:
     """Approximate matmul/conv FLOPs of one train step of the 3D UNet.
 
     Counts conv and attention GEMMs per resolution level; backward ~ 2x
     forward; gradient checkpointing adds ~1 extra forward.
+
+    pass1 describes the second loss pass (reference train.py:813-829):
+      "full"   -- frozen text path, two_pass on: a second FULL UNet pass
+      "frame1" -- trainable text path: frame-1-only second pass
+      "none"   -- two_pass_loss=False
+    When pass1 is None, the legacy `two_pass` bool maps to frame1/none.
     """
+    if pass1 is None:
+        pass1 = "frame1" if two_pass else "none"
     ch = config.block_out_channels
     h, w = height // 8, width // 8   # latent dims
     flops = 0.0
@@ -52,7 +61,9 @@ def unet3d_flops_per_step(config, batch: int, frames: int, height: int,
     mult = 1.0
     if backward:
         mult += 2.0
-    if two_pass:
+    if pass1 == "full":
+        mult *= 2.0
+    elif pass1 == "frame1":
         mult *= 1.0 + 1.0 / max(frames, 1)
     return flops * mult
 
