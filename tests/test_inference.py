@@ -117,3 +117,19 @@ def test_inference_end_to_end(tiny_pipeline_dir):
     assert video.shape[0] == 1 and video.shape[1] == 3
     assert video.shape[2] == 4
     assert np.isfinite(video).all()
+
+
+def test_scan_sampler_matches_host_loop(tiny_pipeline_dir):
+    """The fully-jitted lax.scan denoise loop must reproduce the host-side
+    per-step loop exactly (scan_step vs step math equivalence end-to-end)."""
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    kwargs = dict(prompt="a test", width=32, height=32, num_frames=2,
+                  num_inference_steps=4, guidance_scale=7.0, seed=3,
+                  vae_batch_size=4)
+    scan_frames = pipe(**kwargs, jit_sampler=True)
+    loop_frames = pipe(**kwargs, jit_sampler=False)
+    for a, b in zip(scan_frames, loop_frames):
+        # uint8 output; allow 1-count rounding wobble
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

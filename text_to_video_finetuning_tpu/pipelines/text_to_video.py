@@ -25,7 +25,33 @@ from ..models.clip_text import CLIPTextModel
 from ..models.unet3d import UNet3DConditionModel
 from ..models.vae import AutoencoderKL
 from ..schedulers.ddpm import SchedulerConfig
-from ..schedulers.dpmsolver import DPMSolverMultistepScheduler
+from ..schedulers.dpmsolver import (DPMSolverMultistepScheduler,
+                                    scan_step_static)
+
+
+@functools.partial(jax.jit, static_argnames=("unet", "prediction_type",
+                                             "solver_order", "cfg"))
+def _scan_denoise(params, latents, state, embeds, gs, ts, coeffs, *,
+                  unet, prediction_type, solver_order, cfg):
+    """One compiled dispatch for the whole denoise loop.  `unet` (a frozen
+    flax module) and the scheduler statics key the jit cache."""
+
+    def body(carry, xs):
+        lat, st = carry
+        t, ci = xs
+        latent_in = jnp.concatenate([lat] * 2) if cfg else lat
+        pred = unet.apply({"params": params}, latent_in,
+                          jnp.full((latent_in.shape[0],), t), embeds)
+        pred = pred.astype(jnp.float32)
+        if cfg:
+            uncond, text = jnp.split(pred, 2, axis=0)
+            pred = uncond + gs * (text - uncond)
+        lat, st = scan_step_static(ci, pred, lat, st, prediction_type,
+                                   solver_order)
+        return (lat, st), None
+
+    (lat, _), _ = jax.lax.scan(body, (latents, state), (ts, coeffs))
+    return lat
 
 
 @dataclasses.dataclass
@@ -131,9 +157,13 @@ class TextToVideoSDPipeline:
                  num_frames: int = 16, num_inference_steps: int = 25,
                  guidance_scale: float = 9.0, negative_prompt=None,
                  seed: int = 0, vae_batch_size: int = 8,
-                 solver_order: int = 2):
+                 solver_order: int = 2, jit_sampler: bool = True):
         """Full-window sampling; returns uint8 frames list per batch item
-        (diffusers pipeline .frames equivalent)."""
+        (diffusers pipeline .frames equivalent).
+
+        jit_sampler compiles the WHOLE denoise loop as one lax.scan (one
+        device dispatch per video) -- the TPU-native replacement for the
+        reference's host-side per-timestep loop."""
         rng = jax.random.PRNGKey(seed)
         do_cfg = guidance_scale > 1.0
         embeds = self.encode_prompt(prompt, negative_prompt, do_cfg)
@@ -149,19 +179,37 @@ class TextToVideoSDPipeline:
         latents = jax.random.normal(key, shape, dtype=jnp.float32)
         state = scheduler.init_state(shape)
 
-        for i, t in enumerate(timesteps):
-            latent_in = (jnp.concatenate([latents] * 2)
-                         if do_cfg else latents)
-            noise_pred = self._unet_apply(self.unet_params, latent_in,
-                                          jnp.full((latent_in.shape[0],), t),
-                                          embeds)
-            if do_cfg:
-                uncond, text = jnp.split(noise_pred, 2, axis=0)
-                noise_pred = uncond + guidance_scale * (text - uncond)
-            latents, state = scheduler.step(noise_pred, i, latents, state)
+        if jit_sampler:
+            latents = self._scan_sample(scheduler, latents, state, embeds,
+                                        timesteps, float(guidance_scale),
+                                        do_cfg)
+        else:
+            for i, t in enumerate(timesteps):
+                latent_in = (jnp.concatenate([latents] * 2)
+                             if do_cfg else latents)
+                noise_pred = self._unet_apply(
+                    self.unet_params, latent_in,
+                    jnp.full((latent_in.shape[0],), t), embeds)
+                if do_cfg:
+                    uncond, text = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = uncond + guidance_scale * (text - uncond)
+                latents, state = scheduler.step(noise_pred, i, latents,
+                                                state)
 
         video = self.decode_latents(latents, batch_size=vae_batch_size)
         return self.postprocess(video)
+
+    def _scan_sample(self, scheduler, latents, state, embeds, timesteps,
+                     guidance_scale: float, do_cfg: bool):
+        """The full denoise loop as one jitted lax.scan (module-level jit:
+        cached across calls/pipeline instances with the same unet config)."""
+        coeffs = scheduler.scan_coeffs()
+        ts = jnp.asarray(timesteps, jnp.int32)
+        return _scan_denoise(
+            self.unet_params, latents, state, embeds,
+            jnp.float32(guidance_scale), ts, coeffs, unet=self.unet,
+            prediction_type=scheduler.config.prediction_type,
+            solver_order=scheduler.solver_order, cfg=do_cfg)
 
     @staticmethod
     def postprocess(video) -> List[np.ndarray]:

@@ -119,6 +119,41 @@ class DPMSolverMultistepScheduler:
             raise ValueError(f"unknown prediction type {pt}")
         return x0.astype(sample.dtype)
 
+    # -- scan-compatible form ------------------------------------------------
+    def scan_coeffs(self) -> dict:
+        """Per-step coefficient arrays for a fully-jitted lax.scan sampler
+        (one device dispatch for the whole denoise loop instead of a host
+        Python loop).  Same math as step(); every per-step Python-int gather
+        becomes an indexed array."""
+        ts = self.timesteps
+        n = len(ts)
+        c = {k: np.zeros((n,), np.float32) for k in
+             ("alpha_cur", "sigma_cur", "ratio", "alpha_h", "r0_inv",
+              "first")}
+        for i in range(n):
+            t, prev_t, s1_t = self._coeffs(i)
+            lam_t, lam_s0 = self.lambda_t[prev_t], self.lambda_t[t]
+            h = lam_t - lam_s0
+            c["alpha_cur"][i] = self.alpha_t[t]
+            c["sigma_cur"][i] = self.sigma_t[t]
+            c["ratio"][i] = self.sigma_t[prev_t] / self.sigma_t[t]
+            c["alpha_h"][i] = self.alpha_t[prev_t] * (np.exp(-h) - 1.0)
+            if i >= 1:
+                h_0 = lam_s0 - self.lambda_t[s1_t]
+                c["r0_inv"][i] = h / h_0 if h_0 != 0 else 0.0
+            lower_order_final = (i == n - 1 and n < 15)
+            c["first"][i] = float(self.solver_order == 1
+                                  or lower_order_final or i == 0)
+        return {k: jnp.asarray(v) for k, v in c.items()}
+
+    def scan_step(self, coeffs_i: dict, model_output, sample,
+                  state: DPMSolverState):
+        """Jit/scan-safe step: identical math to step(), coefficients
+        gathered from scan_coeffs() rows."""
+        return scan_step_static(coeffs_i, model_output, sample, state,
+                                self.config.prediction_type,
+                                self.solver_order)
+
     def step(self, model_output, step_index: int, sample,
              state: DPMSolverState):
         """One solver step. `step_index` is a Python int (host loop).
@@ -172,3 +207,32 @@ class DPMSolverMultistepScheduler:
             lower_order_nums=jnp.minimum(
                 state.lower_order_nums + 1, self.solver_order))
         return prev_sample.astype(sample.dtype), new_state
+
+
+def scan_step_static(coeffs_i: dict, model_output, sample,
+                     state: DPMSolverState, prediction_type: str,
+                     solver_order: int):
+    """Free-function form of scan_step (hashable statics only), usable
+    inside module-level jitted samplers without per-call recompilation."""
+    a_c, s_c = coeffs_i["alpha_cur"], coeffs_i["sigma_cur"]
+    if prediction_type == "epsilon":
+        m0 = (sample - s_c * model_output) / a_c
+    elif prediction_type == "v_prediction":
+        m0 = a_c * sample - s_c * model_output
+    else:
+        m0 = model_output
+    m0 = m0.astype(sample.dtype)
+
+    outputs = jnp.concatenate([state.model_outputs[1:], m0[None]], axis=0)
+    m1 = outputs[-2]
+    d1 = coeffs_i["r0_inv"] * (m0 - m1)
+    base = coeffs_i["ratio"] * sample - coeffs_i["alpha_h"] * m0
+    second = base - 0.5 * coeffs_i["alpha_h"] * d1
+    use_first = jnp.logical_or(coeffs_i["first"] > 0.5,
+                               state.lower_order_nums < 1)
+    prev_sample = jnp.where(use_first, base, second)
+    new_state = DPMSolverState(
+        model_outputs=outputs,
+        lower_order_nums=jnp.minimum(state.lower_order_nums + 1,
+                                     solver_order))
+    return prev_sample.astype(sample.dtype), new_state
