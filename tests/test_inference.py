@@ -133,3 +133,24 @@ def test_scan_sampler_matches_host_loop(tiny_pipeline_dir):
     for a, b in zip(scan_frames, loop_frames):
         # uint8 output; allow 1-count rounding wobble
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_windowed_scan_matches_host_loop(tiny_pipeline_dir):
+    """The one-dispatch scan form of the windowed round-robin denoiser must
+    equal the host-side loop bit-for-bit (rotation, history surgery and
+    warmup gating included)."""
+    import jax.numpy as jnp
+    from text_to_video_finetuning_tpu.pipelines.diffuse import diffuse
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    kwargs = dict(pipe=pipe, latents=jnp.zeros((1, 4, 4, 8, 8)),
+                  init_weight=0, prompt=["a test"], negative_prompt=None,
+                  num_inference_steps=4, guidance_scale=7.0, window_size=2,
+                  rotate=True, seed=5)
+    fast = diffuse(**kwargs, jit_loop=True)
+    slow = diffuse(**kwargs, jit_loop=False)
+    # scan vs host loop reassociates float ops; 1e-4 is well below any
+    # denoising-relevant signal
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=1e-4)

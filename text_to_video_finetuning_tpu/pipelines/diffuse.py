@@ -21,9 +21,57 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..schedulers.dpmsolver import (DPMSolverMultistepScheduler,
-                                    DPMSolverState)
+                                    DPMSolverState, scan_step_static)
 from .text_to_video import TextToVideoSDPipeline
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "unet", "prediction_type", "order", "window_size", "cfg"))
+def _scan_windowed_denoise(params, latents, buffer, embeds, gs, ts, coeffs,
+                           shifts, lons, hist_idx, write_idx, *, unet,
+                           prediction_type, order, window_size, cfg):
+    """The whole windowed round-robin denoise loop as ONE compiled lax.scan
+    (vs the reference's nested host loops, inference.py:202-258): windows
+    unroll statically inside the scan body; frame-axis rotation and the
+    DPM-Solver history surgery are traced rolls/gathers."""
+    num_frames = latents.shape[2]
+
+    def body(carry, xs):
+        lat, buf = carry
+        t, ci, shift, lon, hidx, widx = xs
+        lat = jnp.roll(lat, shift, axis=2)
+        buf = jnp.roll(buf, shift, axis=3)          # (order, B, 4, F, h, w)
+
+        new_lat = jnp.zeros_like(lat)
+        new_out = jnp.zeros_like(lat)
+        hist = jnp.take(buf, hidx, axis=0)          # oldest..newest
+        for w0 in range(0, num_frames, window_size):
+            window = lat[:, :, w0:w0 + window_size]
+            st = DPMSolverState(
+                model_outputs=hist[:, :, :, w0:w0 + window_size],
+                lower_order_nums=lon)
+            latent_in = jnp.concatenate([window] * 2) if cfg else window
+            pred = unet.apply({"params": params}, latent_in,
+                              jnp.full((latent_in.shape[0],), t), embeds)
+            pred = pred.astype(jnp.float32)
+            if cfg:
+                uncond, text = jnp.split(pred, 2, axis=0)
+                pred = uncond + gs * (text - uncond)
+            window, st = scan_step_static(ci, pred, window, st,
+                                          prediction_type, order)
+            new_lat = new_lat.at[:, :, w0:w0 + window_size].set(window)
+            new_out = new_out.at[:, :, w0:w0 + window_size].set(
+                st.model_outputs[-1])
+        buf = jax.lax.dynamic_update_index_in_dim(buf, new_out, widx, 0)
+        return (new_lat, buf), None
+
+    (lat, _), _ = jax.lax.scan(
+        body, (latents, buffer),
+        (ts, coeffs, shifts, lons, hist_idx, write_idx))
+    return jnp.roll(lat, -jnp.sum(shifts), axis=2)
 
 
 def primes_up_to(n: int) -> np.ndarray:
@@ -49,8 +97,12 @@ def diffuse(pipe: TextToVideoSDPipeline,
             prompt_embeds=None,
             negative_prompt_embeds=None,
             seed: int = 0,
-            solver_order: int = 2):
-    """latents: (B, 4, F, h, w) init latents. Returns denoised latents."""
+            solver_order: int = 2,
+            jit_loop: bool = True):
+    """latents: (B, 4, F, h, w) init latents. Returns denoised latents.
+
+    jit_loop compiles the whole timestep x window loop as one lax.scan
+    dispatch (numerically identical to the host loop, covered by tests)."""
     rng = jax.random.PRNGKey(seed)
     do_cfg = guidance_scale > 1.0
     batch_size, _, num_frames, _, _ = latents.shape
@@ -87,6 +139,27 @@ def diffuse(pipe: TextToVideoSDPipeline,
         shifts = shifts[np.asarray(
             jax.random.permutation(key, len(shifts)))]
         total_shift = 0
+
+    if jit_loop:
+        n = len(timesteps)
+        shift_arr = np.zeros((n,), np.int32)
+        if rotate:
+            shift_arr = np.asarray(
+                [int(shifts[i % len(shifts)]) for i in range(n)], np.int32)
+        lons = np.minimum(np.arange(n), order).astype(np.int32)
+        hist_idx = np.asarray(
+            [[(i - 1 - o) % order for o in reversed(range(order))]
+             for i in range(n)], np.int32)
+        write_idx = (np.arange(n) % order).astype(np.int32)
+        buffer = jnp.zeros((order,) + latents.shape, jnp.float32)
+        return _scan_windowed_denoise(
+            pipe.unet_params, latents.astype(jnp.float32), buffer, embeds,
+            jnp.float32(guidance_scale), jnp.asarray(timesteps, jnp.int32),
+            scheduler.scan_coeffs(), jnp.asarray(shift_arr),
+            jnp.asarray(lons), jnp.asarray(hist_idx),
+            jnp.asarray(write_idx), unet=pipe.unet,
+            prediction_type=scheduler.config.prediction_type,
+            order=order, window_size=window_size, cfg=do_cfg)
 
     for i, t in enumerate(timesteps):
         if rotate:
