@@ -154,3 +154,29 @@ def test_windowed_scan_matches_host_loop(tiny_pipeline_dir):
     # denoising-relevant signal
     np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
                                atol=1e-4)
+
+
+def test_init_video_img2img(tiny_pipeline_dir):
+    """init-video img2img (reference inference.py:81-121,184-192): encoded
+    init latents + partial denoise from round(init_weight * steps)."""
+    import jax
+    import jax.numpy as jnp
+    from text_to_video_finetuning_tpu.pipelines.diffuse import diffuse
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline, prepare_input_latents)
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    rng = jax.random.PRNGKey(0)
+    init_video = np.random.RandomState(0).uniform(
+        -1, 1, (1, 3, 4, 32, 32)).astype(np.float32)
+    latents = prepare_input_latents(pipe, batch_size=1, num_frames=4,
+                                    height=32, width=32,
+                                    init_video=init_video, vae_batch_size=4,
+                                    rng=rng)
+    # tiny VAE has 2 levels -> 2x spatial downscale (32px -> 16x16 latents)
+    assert latents.shape == (1, 4, 4, 16, 16)
+    out = diffuse(pipe=pipe, latents=latents, init_weight=0.5,
+                  prompt=["a test"], negative_prompt=None,
+                  num_inference_steps=4, guidance_scale=7.0, window_size=4,
+                  rotate=False, seed=0)
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
