@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 
 def build(grad_ckpt: bool, backend: str, frames: int = 16,
-          remat_policy: str = "nothing", two_pass: bool = True):
+          remat_policy: str = "nothing", two_pass: bool = True,
+          fused_groupnorm: bool = False):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -30,6 +31,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
     unet = UNet3DConditionModel(config=ucfg, dtype=jnp.bfloat16,
                                 gradient_checkpointing=grad_ckpt,
                                 remat_policy=remat_policy,
+                                fused_groupnorm=fused_groupnorm,
                                 attention_backend=backend)
     clip = CLIPTextModel(config=CLIP_MS_TEXT_CONFIG, dtype=jnp.bfloat16)
     batch, latent = 1, 32
@@ -105,6 +107,8 @@ def main():
         ("noremat+auto", dict(grad_ckpt=False, backend="auto")),
         ("singlepass+auto", dict(grad_ckpt=True, backend="auto",
                                  two_pass=False)),
+        ("fusedgn+auto", dict(grad_ckpt=True, backend="auto",
+                              fused_groupnorm=True)),
     ]
     if args.variants:
         variants = [v for v in variants if v[0] in args.variants]

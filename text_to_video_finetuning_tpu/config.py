@@ -81,6 +81,7 @@ class TrainConfig:
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
     remat_policy: str = "nothing"     # nothing | dots (grad-ckpt saveables)
+    fused_groupnorm: bool = False     # pallas one-pass GroupNorm+SiLU
     # False skips the reference's redundant second UNet pass when the text
     # encoder is frozen (~2x faster LoRA steps, expectation-equal gradients)
     two_pass_loss: bool = True

@@ -16,6 +16,32 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.groupnorm import fused_group_norm_silu
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm + SiLU with the same param tree as nn.GroupNorm
+    ({scale, bias}), lowered to the one-pass Pallas kernel on TPU
+    (ops/groupnorm.py); XLA composition elsewhere."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    apply_silu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if jax.default_backend() == "tpu":
+            return fused_group_norm_silu(x, scale, bias, self.num_groups,
+                                         self.epsilon, self.apply_silu)
+        y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                         dtype=self.dtype, use_bias=False, use_scale=False,
+                         name="stats")(x)
+        y = y * scale + bias
+        return nn.silu(y) if self.apply_silu else y
+
 
 class ResnetBlock2D(nn.Module):
     """GroupNorm/SiLU/conv x2 with timestep-bias injection and skip conv.
@@ -31,15 +57,24 @@ class ResnetBlock2D(nn.Module):
     output_scale_factor: float = 1.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # lower the GroupNorm+SiLU chains to the one-pass Pallas kernel
+    fused_groupnorm: bool = False
+
+    def _norm_silu(self, name):
+        if self.fused_groupnorm:
+            return FusedGroupNormSiLU(num_groups=self.groups,
+                                      epsilon=self.eps, dtype=self.dtype,
+                                      name=name)
+        gn = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                          dtype=self.dtype, name=name)
+        return lambda x: nn.silu(gn(x))
 
     @nn.compact
     def __call__(self, hidden_states, temb=None, deterministic: bool = True):
         out_channels = self.out_channels or self.in_channels
         residual = hidden_states
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(hidden_states)
-        h = nn.silu(h)
+        h = self._norm_silu("norm1")(hidden_states)
         h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
 
@@ -48,9 +83,7 @@ class ResnetBlock2D(nn.Module):
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = self._norm_silu("norm2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)

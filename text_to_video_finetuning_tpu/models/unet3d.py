@@ -95,6 +95,8 @@ class UNet3DConditionModel(nn.Module):
     # "dots" (keep MXU outputs, recompute elementwise chains only)
     remat_policy: str = "nothing"
     attention_backend: str = "auto"
+    # lower spatial GroupNorm+SiLU chains to the one-pass Pallas kernel
+    fused_groupnorm: bool = False
 
     def setup(self):
         cfg = self.config
@@ -114,6 +116,7 @@ class UNet3DConditionModel(nn.Module):
         common = dict(dropout=0.0,
                       gradient_checkpointing=self.gradient_checkpointing,
                       remat_policy=self.remat_policy,
+                      fused_groupnorm=self.fused_groupnorm,
                       dtype=self.dtype,
                       attention_backend=self.attention_backend)
 

@@ -69,6 +69,7 @@ class CrossAttnDownBlock3D(nn.Module):
     dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing"
+    fused_groupnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -88,7 +89,7 @@ class CrossAttnDownBlock3D(nn.Module):
                 in_channels=in_ch, out_channels=self.out_channels,
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups, dropout=self.dropout,
-                dtype=self.dtype))
+                dtype=self.dtype, fused_groupnorm=self.fused_groupnorm))
             temp_convs.append(temp_conv_cls(
                 in_dim=self.out_channels, out_dim=self.out_channels,
                 dropout=0.1, dtype=self.dtype))
@@ -153,6 +154,7 @@ class DownBlock3D(nn.Module):
     dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing"
+    fused_groupnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -170,7 +172,7 @@ class DownBlock3D(nn.Module):
                 in_channels=in_ch, out_channels=self.out_channels,
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups, dropout=self.dropout,
-                dtype=self.dtype))
+                dtype=self.dtype, fused_groupnorm=self.fused_groupnorm))
             temp_convs.append(temp_conv_cls(
                 in_dim=self.out_channels, out_dim=self.out_channels,
                 dropout=0.1, dtype=self.dtype))
@@ -210,6 +212,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing"
+    fused_groupnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -301,6 +304,7 @@ class CrossAttnUpBlock3D(nn.Module):
     dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing"
+    fused_groupnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -325,7 +329,7 @@ class CrossAttnUpBlock3D(nn.Module):
                 out_channels=self.out_channels,
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups, dropout=self.dropout,
-                dtype=self.dtype))
+                dtype=self.dtype, fused_groupnorm=self.fused_groupnorm))
             temp_convs.append(temp_conv_cls(
                 in_dim=self.out_channels, out_dim=self.out_channels,
                 dropout=0.1, dtype=self.dtype))
@@ -392,6 +396,7 @@ class UpBlock3D(nn.Module):
     dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing"
+    fused_groupnorm: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
 
@@ -414,7 +419,7 @@ class UpBlock3D(nn.Module):
                 out_channels=self.out_channels,
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups, dropout=self.dropout,
-                dtype=self.dtype))
+                dtype=self.dtype, fused_groupnorm=self.fused_groupnorm))
             temp_convs.append(temp_conv_cls(
                 in_dim=self.out_channels, out_dim=self.out_channels,
                 dropout=0.1, dtype=self.dtype))

@@ -249,6 +249,7 @@ def main(**kwargs):
                                 gradient_checkpointing=
                                 cfg.gradient_checkpointing,
                                 remat_policy=cfg.remat_policy,
+                                fused_groupnorm=cfg.fused_groupnorm,
                                 attention_backend=backend)
     text_encoder = CLIPTextModel(
         config=clip_config, dtype=compute_dtype,
