@@ -26,18 +26,33 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_BLOCK_BYTES = 4 * 1024 * 1024
 
 
+def _group_matrix(c: int, groups: int):
+    """(C, G) 0/1 assignment matrix: Mosaic cannot reshape the lane
+    (channel) axis into (G, C/G), so per-group reductions/broadcasts are
+    expressed as matmuls against this constant instead."""
+    cg = c // groups
+    ci = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    gi = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    return (ci == gi).astype(jnp.float32)
+
+
 def _fwd_kernel(x_ref, scale_ref, bias_ref, y_ref, mean_ref, rstd_ref,
                 *, groups: int, eps: float, apply_silu: bool):
     x = x_ref[0].astype(jnp.float32)            # (H, W, C)
     h, w, c = x.shape
     cg = c // groups
-    xg = x.reshape(h * w, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2))            # (G,)
-    var = jnp.mean(jnp.square(xg), axis=(0, 2)) - jnp.square(mean)
-    rstd = jax.lax.rsqrt(var + eps)             # (G,)
+    M = _group_matrix(c, groups)                # (C, G)
+    x2 = x.reshape(h * w, c)
+    # keep reductions 2-D: Mosaic's dot lowering has no vec-mat form
+    s1 = jnp.sum(x2, axis=0, keepdims=True)     # (1, C)
+    s2 = jnp.sum(x2 * x2, axis=0, keepdims=True)
+    n_el = h * w * cg
+    mean = (s1 @ M) / n_el                      # (1, G)
+    var = (s2 @ M) / n_el - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)             # (1, G)
 
-    mean_c = jnp.repeat(mean, cg)               # (C,)
-    rstd_c = jnp.repeat(rstd, cg)
+    mean_c = mean @ M.T                         # (1, C)
+    rstd_c = rstd @ M.T
     z = (x - mean_c) * rstd_c * scale_ref[:].astype(jnp.float32) \
         + bias_ref[:].astype(jnp.float32)
     if apply_silu:
@@ -54,8 +69,9 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
     g = g_ref[0].astype(jnp.float32)
     h, w, c = x.shape
     cg = c // groups
-    mean_c = jnp.repeat(mean_ref[0], cg)        # (C,)
-    rstd_c = jnp.repeat(rstd_ref[0], cg)
+    M = _group_matrix(c, groups)                # (C, G)
+    mean_c = mean_ref[0] @ M.T                  # (1, C)
+    rstd_c = rstd_ref[0] @ M.T
     gamma = scale_ref[:].astype(jnp.float32)
     beta = bias_ref[:].astype(jnp.float32)
 
@@ -65,17 +81,18 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, mean_ref, rstd_ref, g_ref,
         sig = jax.nn.sigmoid(z)
         g = g * sig * (1.0 + z * (1.0 - sig))   # dSiLU/dz
 
-    dgamma_ref[0] = jnp.sum(g * xhat, axis=(0, 1))   # (C,) per-sample
-    dbeta_ref[0] = jnp.sum(g, axis=(0, 1))
+    dgamma_ref[0] = jnp.sum(g * xhat, axis=(0, 1), keepdims=True)[0]
+    dbeta_ref[0] = jnp.sum(g, axis=(0, 1), keepdims=True)[0]
     dxhat = g * gamma
 
     n_el = h * w * cg
-    dxg = dxhat.reshape(h * w, groups, cg)
-    xhg = xhat.reshape(h * w, groups, cg)
-    m1 = jnp.sum(dxg, axis=(0, 2)) / n_el            # (G,)
-    m2 = jnp.sum(dxg * xhg, axis=(0, 2)) / n_el      # (G,)
-    dx = rstd_c * (dxhat - jnp.repeat(m1, cg)
-                   - xhat * jnp.repeat(m2, cg))
+    s_d = jnp.sum(dxhat.reshape(h * w, c), axis=0,
+                  keepdims=True)                # (1, C)
+    s_dx = jnp.sum((dxhat * xhat).reshape(h * w, c), axis=0,
+                   keepdims=True)
+    m1 = ((s_d @ M) / n_el) @ M.T               # per-group mean -> (1, C)
+    m2 = ((s_dx @ M) / n_el) @ M.T
+    dx = rstd_c * (dxhat - m1 - xhat * m2)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -95,15 +112,15 @@ def _run_fwd(x, scale, bias, groups, eps, apply_silu, interpret):
         out_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((n, groups), jnp.float32),
-            jax.ShapeDtypeStruct((n, groups), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, groups), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, groups), jnp.float32),
         ],
         interpret=interpret,
     )(x, scale, bias)
@@ -121,9 +138,9 @@ def _run_bwd(x, scale, bias, mean, rstd, g, groups, apply_silu, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, groups), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, groups), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -131,19 +148,19 @@ def _run_bwd(x, scale, bias, mean, rstd, g, groups, apply_silu, interpret):
         out_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ],
         interpret=interpret,
     )(x, scale, bias, mean, rstd, g)
-    return dx, jnp.sum(dgamma_n, axis=0), jnp.sum(dbeta_n, axis=0)
+    return dx, jnp.sum(dgamma_n, axis=(0, 1)), jnp.sum(dbeta_n, axis=(0, 1))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
