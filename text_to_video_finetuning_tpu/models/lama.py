@@ -273,3 +273,30 @@ def inpaint_watermark(imgs: np.ndarray, mask_path: Optional[str] = None,
     m = jnp.broadcast_to(jnp.asarray(mask)[None], (f, h, w, 1))
     out = lama_forward(params, x, m)
     return np.asarray(out).transpose(0, 3, 1, 2)
+
+
+if __name__ == "__main__":
+    # CLI parity with the reference (reference utils/lama.py:332-350):
+    # python -m text_to_video_finetuning_tpu.models.lama <video.mp4>
+    import sys
+
+    from ..data.video import VideoReader, export_to_video
+
+    if len(sys.argv) < 2:
+        print("Usage: python -m text_to_video_finetuning_tpu.models.lama "
+              "<path/to/video> [mask.png] [lama_ckpt]")
+        sys.exit(1)
+    video_path = sys.argv[1]
+    mask_path = sys.argv[2] if len(sys.argv) > 2 else None
+    ckpt_path = sys.argv[3] if len(sys.argv) > 3 else None
+    out_path = video_path.replace(".mp4", " inpainted.mp4")
+
+    vr = VideoReader(video_path)
+    fps = vr.get_avg_fps()
+    video = vr[:].transpose(0, 3, 1, 2).astype(np.float32) / 255.0
+    inpainted = inpaint_watermark(video, mask_path=mask_path,
+                                  ckpt_path=ckpt_path)
+    frames = (np.clip(inpainted, 0, 1).transpose(0, 2, 3, 1)
+              * 255).astype(np.uint8)
+    export_to_video(frames, out_path, fps)
+    print(f"wrote {out_path}")
