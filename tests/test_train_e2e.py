@@ -367,3 +367,70 @@ def test_grad_accumulation_counts_optimizer_updates(tiny_pipeline_dir,
         checkpointing_steps=2, shuffle=False))
     # checkpoint saved at optimizer update 2 (4 micro-batches in)
     assert os.path.isdir(os.path.join(out_dir, "checkpoint-2"))
+
+
+def test_tp_sharded_step_equals_replicated(tiny_pipeline_dir):
+    """Tensor parallelism (Megatron split of attention/MLP weights over
+    'tp'): the sharded step must match the replicated one numerically."""
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.parallel import (batch_sharding,
+                                                       make_mesh, MeshConfig,
+                                                       replicate,
+                                                       shard_params)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+    optimizer = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 10),
+                              max_grad_norm=0.0)
+    step_cfg = TrainStepConfig(unet=unet, text_encoder=clip, vae=vae,
+                               scheduler=DDPMScheduler(sched_cfg),
+                               cache_latents=True)
+    train_step = make_train_step(step_cfg, optimizer)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {"pixel_values": jax.random.normal(rng, (2, 4, 2, 4, 4)),
+             "prompt_ids": jnp.ones((2, 77), jnp.int32)}
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng)
+
+    s1, m1 = jax.jit(train_step)(state, frozen, vae_params, batch)
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=4, sp=1))
+    with mesh:
+        rep = replicate(mesh)
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), t)
+        frozen_d = shard_params(frozen, mesh, use_fsdp=False, use_tp=True)
+        batch_d = {
+            "pixel_values": jax.device_put(batch["pixel_values"],
+                                           batch_sharding(mesh)),
+            "prompt_ids": jax.device_put(batch["prompt_ids"],
+                                         batch_sharding(mesh)),
+        }
+        s8, m8 = jax.jit(train_step)(put(state), frozen_d,
+                                     put(vae_params), batch_d)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainable),
+                    jax.tree_util.tree_leaves(s8.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
