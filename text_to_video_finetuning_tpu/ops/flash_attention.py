@@ -230,8 +230,11 @@ def _flash_bwd(scale, block_q, block_k, kv_len, interpret, res, g):
     q, k, v, o, lse = res
     b, sq, d = q.shape
     sk = k.shape[1]
-    bq = _pick_block(sq, block_q)
-    bk = _pick_block(sk, block_k)
+    # the backward keeps ~4 (bq, bk) fp32 intermediates (s, p, dp, ds) live
+    # in VMEM; cap its blocks regardless of the (possibly whole-KV) forward
+    # blocks or the kernel stack OOMs the 16MB scoped-vmem limit
+    bq = _pick_block(sq, min(block_q, 512))
+    bk = _pick_block(sk, min(block_k, 1024))
     mask_kv = kv_len < sk
 
     delta = jnp.sum(o.astype(jnp.float32) * g.astype(jnp.float32),
@@ -365,12 +368,17 @@ def flash_attention(q, k, v, scale: float | None = None,
 
     # pad sequences to the block size (not just 128): an awkward length
     # like 2880 -> 2944 = 128*23 would force 128-wide blocks everywhere,
-    # while 2880 -> 3072 keeps full-width blocks for 4% padding overhead
+    # while 2880 -> 3072 keeps full-width blocks for 7% padding overhead
     q_mult = min(block_q, 1 << max((sq - 1).bit_length(), 7))
-    k_mult = min(block_k, 1 << max((sk - 1).bit_length(), 7))
+    k_mult = min(512, 1 << max((sk - 1).bit_length(), 7))
     qf, orig_sq = _pad_to(qf, 1, q_mult)
     kf, orig_sk = _pad_to(kf, 1, k_mult)
     vf, _ = _pad_to(vf, 1, k_mult)
+    # whole-KV blocks when K+V fit a VMEM budget: measured ~20% faster
+    # than streaming 1024-wide KV at the 2880-token regime (v5e)
+    sk_pad = kf.shape[1]
+    if 2 * sk_pad * d * kf.dtype.itemsize <= 768 * 1024:
+        block_k = max(block_k, sk_pad)
 
     o = _flash_attention_bhsd(qf, kf, vf, float(scale), block_q,
                               block_k, orig_sk, interpret)

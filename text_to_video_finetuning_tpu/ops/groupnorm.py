@@ -23,7 +23,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # per-sample VMEM budget for the x block (fp32 intermediates ~3x this)
-_MAX_BLOCK_BYTES = 4 * 1024 * 1024
+# per-sample element budget: the BACKWARD kernel keeps ~6 fp32 copies of
+# the sample slice live (x, g, xhat, z, dxhat, products), and the TPU's
+# scoped-vmem stack limit is 16MB -- cap at 0.5M elements (~12MB of fp32
+# intermediates).  Level-0/bottleneck tensors (32x32x320, 16x16x1280) fit;
+# wide up-block concats (32x32x1920) fall back to the XLA composition.
+_MAX_BLOCK_ELEMENTS = 512 * 1024
 
 
 def _group_matrix(c: int, groups: int):
@@ -186,9 +191,9 @@ _fused_gn.defvjp(_fused_gn_fwd, _fused_gn_bwd)
 
 
 def fits_fused(x_shape, dtype) -> bool:
-    """Per-sample slice must fit the VMEM block budget."""
+    """Per-sample slice must fit the backward kernel's VMEM budget."""
     n, h, w, c = x_shape
-    return h * w * c * jnp.dtype(dtype).itemsize <= _MAX_BLOCK_BYTES
+    return h * w * c <= _MAX_BLOCK_ELEMENTS
 
 
 def fused_group_norm_silu(x, scale, bias, groups: int = 32,
