@@ -68,14 +68,22 @@ def _bn(params, x, eps=1e-5):
 
 
 def _fourier_unit(params, x):
-    """reference utils/lama.py:56-90, NHWC."""
+    """reference utils/lama.py:56-90, NHWC.
+
+    Channel layout matters for checkpoint parity: torch stacks real/imag
+    per channel and flattens to [c0_r, c0_i, c1_r, c1_i, ...]
+    (reference utils/lama.py:76-85), NOT [reals..., imags...]."""
     b, h, w, c = x.shape
     ffted = jnp.fft.rfftn(x, axes=(1, 2), norm="ortho")   # (b, h, w2, c)
-    ffted = jnp.concatenate([ffted.real, ffted.imag], axis=-1)
+    w2 = ffted.shape[2]
+    # interleave: (b, h, w2, c, 2) -> (b, h, w2, 2c) as [c0_r, c0_i, ...]
+    ffted = jnp.stack([ffted.real, ffted.imag], axis=-1).reshape(
+        b, h, w2, 2 * c)
     ffted = _conv(params["conv_layer"], ffted)
     ffted = jnp.maximum(_bn(params["bn"], ffted), 0.0)
-    real, imag = jnp.split(ffted, 2, axis=-1)
-    complex_f = real + 1j * imag
+    # de-interleave back to complex pairs
+    ffted = ffted.reshape(b, h, w2, ffted.shape[-1] // 2, 2)
+    complex_f = ffted[..., 0] + 1j * ffted[..., 1]
     return jnp.fft.irfftn(complex_f, s=(h, w), axes=(1, 2), norm="ortho")
 
 
@@ -121,9 +129,13 @@ def _ffc_bn_act(params, x_lg, ratio_gin, ratio_gout, stride=1, padding=0,
 
 
 def _ffc_resnet_block(params, x_lg):
+    # FFC convs reflect-pad (padding_mode="reflect",
+    # reference utils/lama.py:131,149-160)
     id_l, id_g = x_lg
-    x_lg = _ffc_bn_act(params["conv1"], x_lg, 0.75, 0.75, padding=1)
-    x_lg = _ffc_bn_act(params["conv2"], x_lg, 0.75, 0.75, padding=1)
+    x_lg = _ffc_bn_act(params["conv1"], x_lg, 0.75, 0.75, padding=1,
+                       reflect=True)
+    x_lg = _ffc_bn_act(params["conv2"], x_lg, 0.75, 0.75, padding=1,
+                       reflect=True)
     return id_l + x_lg[0], id_g + x_lg[1]
 
 
@@ -136,12 +148,12 @@ def lama_forward(params: Dict, img: jnp.ndarray,
     # model.1: FFC_BN_ACT(4, 64, k7, reflect pad 3), all-local
     x_lg = _ffc_bn_act(params["model_1"], (x, 0.0), 0.0, 0.0, padding=3,
                        reflect=True)
-    # model.2..4: downsample convs
+    # model.2..4: downsample convs (reflect-padded, padding_mode="reflect")
     for i in range(_N_DOWN):
         gout = 0.75 if i == _N_DOWN - 1 else 0.0
         gin = 0.0 if i < _N_DOWN else 0.75
         x_lg = _ffc_bn_act(params[f"model_{2 + i}"], x_lg, gin, gout,
-                           stride=2, padding=1)
+                           stride=2, padding=1, reflect=True)
     # model.5..22: 18 resnet blocks at ratio 0.75
     for i in range(_N_BLOCKS):
         x_lg = _ffc_resnet_block(params[f"model_{5 + i}"], x_lg)

@@ -16,7 +16,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops.groupnorm import fused_group_norm_silu
+
+# activations tagged for the "conv_outs"/"conv_dots" remat policies
+# (models/unet3d_blocks.py REMAT_POLICIES): the conv results are the
+# expensive-to-recompute intermediates; everything between them is a cheap
+# GroupNorm/SiLU chain
+_CONV_TAG = "conv_out_act"
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -77,6 +85,7 @@ class ResnetBlock2D(nn.Module):
         h = self._norm_silu("norm1")(hidden_states)
         h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
+        h = checkpoint_name(h, _CONV_TAG)
 
         if temb is not None:
             temb_proj = nn.Dense(out_channels, dtype=self.dtype,
@@ -87,6 +96,7 @@ class ResnetBlock2D(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
+        h = checkpoint_name(h, _CONV_TAG)
 
         if self.in_channels != out_channels:
             residual = nn.Conv(out_channels, (1, 1), padding="VALID",
@@ -119,10 +129,11 @@ class TemporalConvLayer(nn.Module):
         def conv3d(x, out_ch, name, zero_init=False):
             kernel_init = (nn.initializers.zeros if zero_init
                            else nn.initializers.lecun_normal())
-            return nn.Conv(out_ch, (3, 1, 1),
-                           padding=((1, 1), (0, 0), (0, 0)),
-                           kernel_init=kernel_init, dtype=self.dtype,
-                           name=name)(x)
+            y = nn.Conv(out_ch, (3, 1, 1),
+                        padding=((1, 1), (0, 0), (0, 0)),
+                        kernel_init=kernel_init, dtype=self.dtype,
+                        name=name)(x)
+            return checkpoint_name(y, _CONV_TAG)
 
         h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = nn.silu(h)
@@ -179,8 +190,13 @@ class Upsample2D(nn.Module):
             # exact nearest-neighbour 2x: duplicate rows/cols
             up = jnp.repeat(jnp.repeat(hidden_states, 2, axis=1), 2, axis=2)
         else:
-            up = jax.image.resize(hidden_states,
-                                  (b, output_size[0], output_size[1], c),
-                                  method="nearest")
+            # torch F.interpolate(mode="nearest") semantics: index
+            # floor(i * in / out).  jax.image.resize "nearest" rounds from
+            # pixel centers instead and disagrees for odd sizes, so gather
+            # explicitly to stay checkpoint-parity with the reference.
+            oh, ow = int(output_size[0]), int(output_size[1])
+            rows = (jnp.arange(oh) * h) // oh
+            cols = (jnp.arange(ow) * w) // ow
+            up = hidden_states[:, rows][:, :, cols]
         return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv")(up)
