@@ -112,3 +112,42 @@ def test_clip_causal_masking(rng):
                                np.asarray(out2[0, :50]), atol=1e-6)
     assert not np.allclose(np.asarray(out1[0, 50:]),
                            np.asarray(out2[0, 50:]))
+
+
+import pytest
+
+
+@pytest.mark.parametrize("policy", ["dots", "conv_outs", "conv_dots"])
+def test_remat_policies_match_no_remat_grads(policy):
+    """Every remat saveable-set is a pure memory/recompute tradeoff: the
+    gradients must equal the unrematerialized model's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from text_to_video_finetuning_tpu.models.unet3d import (
+        UNet3DConditionModel, micro_unet_config)
+
+    cfg = micro_unet_config()
+    rng = jax.random.PRNGKey(0)
+    sample = jax.random.normal(rng, (1, 4, 2, 8, 8))
+    text = jax.random.normal(rng, (1, 7, cfg.cross_attention_dim))
+    t = jnp.array([3])
+
+    base = UNet3DConditionModel(config=cfg)
+    params = jax.jit(base.init)(rng, sample, t, text)["params"]
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, sample, t, text)
+            return jnp.mean(out ** 2)
+        return f
+
+    g_ref = jax.jit(jax.grad(loss(base)))(params)
+    rem = UNet3DConditionModel(config=cfg, gradient_checkpointing=True,
+                               remat_policy=policy)
+    g_rem = jax.jit(jax.grad(loss(rem)))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                atol=1e-5, rtol=1e-4),
+        g_ref, g_rem)

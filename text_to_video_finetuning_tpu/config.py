@@ -80,7 +80,9 @@ class TrainConfig:
     mesh_tp: int = 1
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
-    remat_policy: str = "nothing"     # nothing | dots (grad-ckpt saveables)
+    # grad-ckpt saveable set: nothing | dots | conv_outs | conv_dots
+    # (models/unet3d_blocks.py REMAT_POLICIES)
+    remat_policy: str = "nothing"
     fused_groupnorm: bool = False     # pallas one-pass GroupNorm+SiLU
     # False skips the reference's redundant second UNet pass when the text
     # encoder is frozen (~2x faster LoRA steps, expectation-equal gradients)

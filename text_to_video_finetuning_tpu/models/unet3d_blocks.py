@@ -33,10 +33,38 @@ from .transformers import Transformer2DModel, TransformerTemporalModel
 REMAT_POLICIES = {
     # save nothing: max memory savings, ~1 extra fwd of recompute
     "nothing": None,
-    # save MXU (dot/conv) outputs, recompute the cheap elementwise chains:
-    # much less recompute for modestly more live memory
+    # save dot_general outputs (attention/dense only -- XLA convolutions are
+    # NOT matched by dots policies, so this leaves the conv chains, which
+    # dominate this UNet, fully recomputed)
     "dots": "dots_saveable",
+    # save the tagged convolution outputs (models/resnet.py checkpoint_name
+    # tags), recompute only the cheap GroupNorm/SiLU chains and attention:
+    # the right "keep MXU outputs" policy for a conv-dominated UNet
+    "conv_outs": ("names", ("conv_out_act",)),
+    # conv outputs AND dot outputs saved; only elementwise recomputed
+    "conv_dots": ("names_and_dots", ("conv_out_act",)),
 }
+
+
+def _resolve_policy(policy: str):
+    if policy not in REMAT_POLICIES:
+        raise ValueError(f"unknown remat_policy {policy!r}; "
+                         f"options: {sorted(REMAT_POLICIES)}")
+    spec = REMAT_POLICIES[policy]
+    if spec is None:
+        return None
+    if isinstance(spec, str):
+        return getattr(jax.checkpoint_policies, spec)
+    kind, names = spec
+    if kind == "names":
+        return jax.checkpoint_policies.save_only_these_names(*names)
+    # names_and_dots: union of named saves and dot outputs
+    by_name = jax.checkpoint_policies.save_only_these_names(*names)
+    dots = jax.checkpoint_policies.dots_saveable
+
+    def union(prim, *args, **kwargs):
+        return by_name(prim, *args, **kwargs) or dots(prim, *args, **kwargs)
+    return union
 
 
 def _maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...],
@@ -47,12 +75,8 @@ def _maybe_remat(cls, enable: bool, static_argnums: Tuple[int, ...],
     jax.checkpoint saveable-set (see REMAT_POLICIES)."""
     if not enable:
         return cls
-    if policy not in REMAT_POLICIES:
-        raise ValueError(f"unknown remat_policy {policy!r}; "
-                         f"options: {sorted(REMAT_POLICIES)}")
-    name = REMAT_POLICIES[policy]
-    jpolicy = getattr(jax.checkpoint_policies, name) if name else None
-    return nn.remat(cls, static_argnums=static_argnums, policy=jpolicy)
+    return nn.remat(cls, static_argnums=static_argnums,
+                    policy=_resolve_policy(policy))
 
 
 class CrossAttnDownBlock3D(nn.Module):
@@ -230,7 +254,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
             temb_channels=self.temb_channels, eps=self.resnet_eps,
             groups=self.resnet_groups,
             output_scale_factor=self.output_scale_factor,
-            dropout=self.dropout, dtype=self.dtype)]
+            dropout=self.dropout, dtype=self.dtype,
+            fused_groupnorm=self.fused_groupnorm)]
         temp_convs = [temp_conv_cls(
             in_dim=self.in_channels, out_dim=self.in_channels, dropout=0.1,
             dtype=self.dtype)]
@@ -257,7 +282,8 @@ class UNetMidBlock3DCrossAttn(nn.Module):
                 temb_channels=self.temb_channels, eps=self.resnet_eps,
                 groups=self.resnet_groups,
                 output_scale_factor=self.output_scale_factor,
-                dropout=self.dropout, dtype=self.dtype))
+                dropout=self.dropout, dtype=self.dtype,
+                fused_groupnorm=self.fused_groupnorm))
             temp_convs.append(temp_conv_cls(
                 in_dim=self.in_channels, out_dim=self.in_channels,
                 dropout=0.1, dtype=self.dtype))
