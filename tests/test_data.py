@@ -250,3 +250,60 @@ def test_export_to_video_roundtrip(tmp_path):
     vr = VideoReader(out)
     assert len(vr) == 8
     assert vr.get_avg_fps() == pytest.approx(8, abs=1)
+
+
+def test_t2vc_cache_parity_with_npz(tmp_path):
+    """The native T2VC latent-cache container (native/dataio.cpp:92-186)
+    roundtrips identically to the .npz path through CachedDataset."""
+    import numpy as np
+    from text_to_video_finetuning_tpu.data import native
+    from text_to_video_finetuning_tpu.data.datasets import CachedDataset
+
+    rng = np.random.RandomState(0)
+    lat = rng.randn(4, 3, 8, 8).astype(np.float32)
+    ids = rng.randint(0, 500, (77,)).astype(np.int32)
+    prompt = "a test prompt with unicode éè"
+
+    d_npz = tmp_path / "npz"
+    d_t2vc = tmp_path / "t2vc"
+    d_npz.mkdir(), d_t2vc.mkdir()
+    np.savez(str(d_npz / "cached_0.npz"), pixel_values=lat, prompt_ids=ids,
+             text_prompt=prompt, dataset="cached")
+    assert native.cache_write_item(str(d_t2vc / "cached_0.t2vc"), lat, ids,
+                                   prompt)
+
+    a = CachedDataset(cache_dir=str(d_npz))[0]
+    b = CachedDataset(cache_dir=str(d_t2vc))[0]
+    np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+    np.testing.assert_array_equal(a["prompt_ids"], b["prompt_ids"])
+    assert a["text_prompt"] == b["text_prompt"] == prompt
+
+
+def test_t2vc_numpy_fallback_reader(tmp_path, monkeypatch):
+    """The pure-numpy writer/reader produce the same bytes/values as the
+    native path (works with no compiler)."""
+    import numpy as np
+    from text_to_video_finetuning_tpu.data import native
+
+    lat = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)
+    ids = np.arange(7, dtype=np.int32)
+    p_native = str(tmp_path / "a.t2vc")
+    p_numpy = str(tmp_path / "b.t2vc")
+    native.cache_write_item(p_native, lat, ids, "hello")
+    monkeypatch.setattr(native, "_load", lambda: None)
+    native.cache_write_item(p_numpy, lat, ids, "hello")
+    with open(p_native, "rb") as f1, open(p_numpy, "rb") as f2:
+        assert f1.read() == f2.read()
+    item = native.cache_read_item(p_numpy)
+    np.testing.assert_array_equal(item["pixel_values"], lat)
+    np.testing.assert_array_equal(item["prompt_ids"], ids)
+    assert item["text_prompt"] == "hello"
+
+
+def test_normalize_u8_to_pm1_matches_numpy():
+    import numpy as np
+    from text_to_video_finetuning_tpu.data import native
+    x = np.random.RandomState(1).randint(0, 256, (3, 4, 5, 3), np.uint8)
+    out = native.normalize_u8_to_pm1(x)
+    np.testing.assert_allclose(out, x.astype(np.float32) / 127.5 - 1.0,
+                               atol=1e-6)

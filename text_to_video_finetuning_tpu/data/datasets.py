@@ -42,6 +42,8 @@ def normalize_input(item: np.ndarray, mean=(0.5, 0.5, 0.5),
         mean = np.asarray(mean, np.float32)[None, :, None, None]
         std = np.asarray(std, np.float32)[None, :, None, None]
         return (x - mean) / std
+    if item.dtype == np.uint8:
+        return native.normalize_u8_to_pm1(item)
     return item.astype(np.float32) / 127.5 - 1.0
 
 
@@ -372,13 +374,15 @@ class CachedDataset(_Dataset):
         self.cache_dir = cache_dir
         self.cached_data_list = sorted(
             f"{cache_dir}/{x}" for x in os.listdir(cache_dir)
-            if x.endswith((".pt", ".npz")))
+            if x.endswith((".pt", ".npz", ".t2vc")))
 
     def __len__(self):
         return len(self.cached_data_list)
 
     def __getitem__(self, index):
         path = self.cached_data_list[index]
+        if path.endswith(".t2vc"):
+            return native.cache_read_item(path)
         if path.endswith(".npz"):
             data = np.load(path, allow_pickle=True)
             return {k: (data[k] if data[k].dtype != object

@@ -3,13 +3,19 @@
 Replaces torch.utils.data.DataLoader (reference train.py:641-645). Decode
 happens on worker threads (cv2 releases the GIL inside C++ decode) while the
 TPU runs the previous step; batches are numpy trees ready for device_put.
+
+Bucketing support (reference utils/bucketing.py + utils/dataset.py resize
+paths): with `use_bucketing` the datasets emit items at a SMALL bucket set
+of (H, W) shapes.  `bucket_batching=True` groups items by shape so every
+batch is stackable and the jitted train step compiles at most once per
+bucket shape (SURVEY §7 "shape polymorphism vs XLA compilation").
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 
@@ -32,7 +38,7 @@ class DataLoader:
                  num_workers: int = 2, seed: int = 0, drop_last: bool = True,
                  collate_fn=default_collate, prefetch: int = 2,
                  pad_last: bool = False, num_shards: int = 1,
-                 shard_index: int = 0):
+                 shard_index: int = 0, bucket_batching: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,6 +59,14 @@ class DataLoader:
             f"global batch {batch_size} not divisible by {num_shards} hosts")
         self.num_shards = max(num_shards, 1)
         self.shard_index = shard_index
+        # bucket batching groups by item shape AFTER loading, which is a
+        # host-local decision; the multi-host loader contract (identical
+        # batch sequence on every host) would need shape metadata up front
+        if bucket_batching and self.num_shards > 1:
+            raise NotImplementedError(
+                "bucket_batching is single-host only; use fixed-size "
+                "(width, height) train_data on multi-host meshes")
+        self.bucket_batching = bucket_batching
         self._epoch = 0
         self._rng = np.random.RandomState(seed)
 
@@ -81,24 +95,50 @@ class DataLoader:
                               (self.shard_index + 1) * local]
             yield batch
 
+    def _item_batches(self) -> Iterator[List[dict]]:
+        """Yield lists of item dicts; runs inside the worker thread."""
+        if not self.bucket_batching:
+            for batch_idx in self._batches():
+                yield [self.dataset[int(i)] for i in batch_idx]
+            return
+        # shape-keyed queues: a batch is emitted as soon as one bucket
+        # fills, so batches stay stackable and shapes stay in the bucket set
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(indices)
+        queues: dict = {}
+        for i in indices:
+            item = self.dataset[int(i)]
+            key = tuple(np.asarray(item["pixel_values"]).shape)
+            queues.setdefault(key, []).append(item)
+            if len(queues[key]) == self.batch_size:
+                yield queues.pop(key)
+        for key in sorted(queues, key=str):
+            items = queues[key]
+            if len(items) < self.batch_size:
+                if self.drop_last:
+                    continue
+                if self.pad_last:
+                    orig = list(items)
+                    while len(items) < self.batch_size:
+                        items.append(orig[len(items) % len(orig)])
+            yield items
+
     def __iter__(self) -> Iterator:
         self._epoch += 1
         if self.num_workers == 0:
-            for batch_idx in self._batches():
-                yield self.collate_fn([self.dataset[int(i)]
-                                       for i in batch_idx])
+            for items in self._item_batches():
+                yield self.collate_fn(items)
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        batch_list = list(self._batches())
         stop = threading.Event()
 
         def worker():
             try:
-                for batch_idx in batch_list:
+                for items in self._item_batches():
                     if stop.is_set():
                         break
-                    items = [self.dataset[int(i)] for i in batch_idx]
                     out_q.put(self.collate_fn(items))
             except Exception as e:  # surface errors on the consumer side
                 out_q.put(e)

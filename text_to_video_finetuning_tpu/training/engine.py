@@ -50,10 +50,18 @@ logger = logging.getLogger("t2v_tpu")
 
 def create_output_folders(output_dir: str, cfg: TrainConfig) -> str:
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    if jax.process_count() > 1:
+        # all hosts must agree on the run directory name; use process 0's
+        # timestamp (hosts' clocks can straddle a second boundary)
+        from jax.experimental import multihost_utils
+        buf = np.frombuffer(now.encode().ljust(32), dtype=np.uint8).copy()
+        buf = multihost_utils.broadcast_one_to_all(buf)
+        now = bytes(np.asarray(buf)).decode().strip()
     out_dir = os.path.join(output_dir, f"train_{now}")
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(f"{out_dir}/samples", exist_ok=True)
-    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    if jax.process_index() == 0:
+        save_config(cfg, os.path.join(out_dir, "config.yaml"))
     return out_dir
 
 
@@ -113,7 +121,13 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
         if n_proc > 1:
             cache_dir = f"{cache_dir}/host{proc}"
         shards = (1, 0)
-        local_bs = (global_batch_size or cfg.train_batch_size) // n_proc
+        gbs = global_batch_size or cfg.train_batch_size
+        if gbs % n_proc != 0:
+            raise ValueError(
+                f"global batch size {gbs} is not divisible by the process "
+                f"count {n_proc}; every host must supply the same number of "
+                "rows to the dp-sharded global batch")
+        local_bs = gbs // n_proc
         os.makedirs(cache_dir, exist_ok=True)
         encode = jax.jit(lambda p, x, k: vae.apply(
             {"params": p}, x, rng=k, method=AutoencoderKL.encode))
@@ -122,18 +136,34 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
         # wrap-around pad would bake duplicate items into the cache);
         # hosts stride-shard the items
         dataset = loader.dataset
-        for n, idx in enumerate(range(proc, len(dataset), n_proc)):
+        from ..data import native as dnative
+        ext = dnative.CACHE_EXT   # T2VC binary container (native/dataio.cpp)
+        written = 0
+        for idx in range(proc, len(dataset), n_proc):
             item = dataset[idx]
             rng, key = jax.random.split(rng)
             px = jnp.asarray(item["pixel_values"])       # (F, C, H, W)
             lat = encode(vae_params, px, key) * 0.18215  # (F, 4, h, w)
             lat = jnp.transpose(lat, (1, 0, 2, 3))       # (C, F, h, w)
-            np.savez(
-                f"{cache_dir}/cached_{n}.npz",
-                pixel_values=np.asarray(lat, dtype=np.float32),
-                prompt_ids=np.asarray(item["prompt_ids"]),
-                text_prompt=item["text_prompt"],
-                dataset=item["dataset"])
+            dnative.cache_write_item(
+                f"{cache_dir}/cached_{written}{ext}",
+                np.asarray(lat, dtype=np.float32),
+                np.asarray(item["prompt_ids"]), item["text_prompt"])
+            written += 1
+        # pad every host's shard to a COMMON item count (repeat the last
+        # item, as the wrap-pad loader does for batches): when len(dataset)
+        # is not divisible by process_count, hosts would otherwise see
+        # different batch counts per epoch and desync the SPMD loop
+        per_host = max(1, math.ceil(len(dataset) / n_proc))
+        if written == 0:
+            raise ValueError(
+                f"host {proc} received no dataset items to cache "
+                f"(dataset has {len(dataset)} items, {n_proc} hosts)")
+        import shutil
+        while written < per_host:
+            shutil.copyfile(f"{cache_dir}/cached_{written - 1}{ext}",
+                            f"{cache_dir}/cached_{written}{ext}")
+            written += 1
     return DataLoader(CachedDataset(cache_dir=cache_dir),
                       batch_size=local_bs, shuffle=False, num_workers=0,
                       pad_last=True, num_shards=shards[0],
@@ -224,8 +254,13 @@ def main(**kwargs):
     maybe_init_distributed()
 
     output_dir = create_output_folders(cfg.output_dir, cfg)
+    # host-side artifact writes (tensorboard, checkpoints, samples) happen
+    # on process 0 only: every process holds the full replicated state, so
+    # concurrent writes to shared storage would race (reference equivalent:
+    # accelerator.is_main_process gating, reference train.py:536,700,910)
+    is_main = jax.process_index() == 0
     writer = None
-    if cfg.logger_type == "tensorboard":
+    if cfg.logger_type == "tensorboard" and is_main:
         try:
             from tensorboardX import SummaryWriter
             writer = SummaryWriter(os.path.join(output_dir, "logs"))
@@ -365,12 +400,24 @@ def main(**kwargs):
     # DistributedSampler so the compiled shape is fixed
     dp_size = mesh.shape["dp"]
     global_batch_size = cfg.train_batch_size * dp_size
+    if global_batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"global batch size {global_batch_size} (train_batch_size "
+            f"{cfg.train_batch_size} x dp {dp_size}) must be divisible by "
+            f"the process count {jax.process_count()}: every host supplies "
+            "an equal slice of the dp-sharded global batch")
+    # aspect bucketing emits a small set of (H, W) shapes; group batches by
+    # shape so the jitted step compiles once per bucket (SURVEY §7)
+    use_bucketing = bool((cfg.train_data or {}).get("use_bucketing")) or any(
+        bool((ds.get("train_data") or {}).get("use_bucketing"))
+        for ds in (cfg.extra_train_data or []))
     train_dataloader = DataLoader(train_dataset,
                                   batch_size=global_batch_size,
                                   shuffle=cfg.shuffle,
                                   seed=cfg.seed or 0, pad_last=True,
                                   num_shards=jax.process_count(),
-                                  shard_index=jax.process_index())
+                                  shard_index=jax.process_index(),
+                                  bucket_batching=use_bucketing)
 
     cached = handle_cache_latents(cfg, output_dir, train_dataloader, vae,
                                   vae_params,
@@ -452,6 +499,7 @@ def main(**kwargs):
         global_step = micro_step // cfg.gradient_accumulation_steps
         run_steps = 0
         last_prompt = ""
+        window_losses = []
         t_start = time.time()
 
         # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
@@ -506,6 +554,11 @@ def main(**kwargs):
                     jax.profiler.start_trace(profile_dir)
                 state, metrics = jit_step(state, frozen, vae_params_d,
                                           device_batch)
+                # window-mean train_loss, reference train.py:855-890: the
+                # logged scalar is the accumulation-window mean of the
+                # (global-batch-mean) loss.  Kept as device arrays -- no
+                # host sync until logging.
+                window_losses.append(metrics["loss"])
                 micro_step += 1
                 run_steps += 1
                 if (cfg.profile_steps
@@ -521,25 +574,33 @@ def main(**kwargs):
                 if micro_step % cfg.gradient_accumulation_steps != 0:
                     continue
                 global_step += 1
+                train_loss = (jnp.mean(jnp.stack(window_losses))
+                              if window_losses else metrics["loss"])
+                window_losses = []
+
+                if writer is not None:
+                    # reference logs train_loss at every optimizer step
+                    # (accelerator.log, reference train.py:889)
+                    writer.add_scalar("train_loss", float(
+                        jax.device_get(train_loss)), global_step)
 
                 if global_step % 10 == 0 or global_step == 1:
                     m = jax.device_get(metrics)
                     stats = timer.stats()
                     logger.info(
-                        f"step {global_step} loss={float(m['loss']):.4f} "
+                        f"step {global_step} "
+                        f"loss={float(jax.device_get(train_loss)):.4f} "
                         f"grad_norm={float(m['grad_norm']):.3f} "
                         f"({stats['step_time_s']:.2f}s/step, "
                         f"mfu={stats['mfu']:.1%})")
                     if writer is not None:
-                        writer.add_scalar("train_loss", float(m["loss"]),
-                                          global_step)
                         writer.add_scalar("grad_norm",
                                           float(m["grad_norm"]), global_step)
                         writer.add_scalar("steps_per_sec",
                                           stats["steps_per_sec"], global_step)
                         writer.add_scalar("mfu", stats["mfu"], global_step)
 
-                if global_step % cfg.checkpointing_steps == 0:
+                if global_step % cfg.checkpointing_steps == 0 and is_main:
                     params_now, lora_now = current_params()
                     save_pipe(cfg, output_dir, global_step,
                               cfg.pretrained_model_path, models, params_now,
@@ -548,8 +609,9 @@ def main(**kwargs):
                         os.path.join(output_dir,
                                      f"checkpoint-{global_step}"), state)
 
-                if should_sample(global_step, cfg.validation_steps,
-                                 cfg.validation_data):
+                if is_main and should_sample(global_step,
+                                             cfg.validation_steps,
+                                             cfg.validation_data):
                     params_now, lora_now = current_params()
                     sample_params = dict(params_now)
                     if (lora_manager.use_lora
@@ -594,10 +656,11 @@ def main(**kwargs):
             if global_step >= cfg.max_train_steps:
                 break
 
-        params_now, lora_now = current_params()
-        save_pipe(cfg, output_dir, global_step, cfg.pretrained_model_path,
-                  models, params_now, lora_now, lora_manager,
-                  is_checkpoint=False)
+        if is_main:
+            params_now, lora_now = current_params()
+            save_pipe(cfg, output_dir, global_step,
+                      cfg.pretrained_model_path, models, params_now,
+                      lora_now, lora_manager, is_checkpoint=False)
     if writer is not None:
         writer.close()
     return output_dir

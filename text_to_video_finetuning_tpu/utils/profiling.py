@@ -74,7 +74,10 @@ class StepTimer:
     def __init__(self, flops_per_step: Optional[float] = None,
                  peak_flops: Optional[float] = None, window: int = 20):
         self.flops_per_step = flops_per_step
-        self.peak_flops = peak_flops or _device_peak_flops()
+        # flops_per_step covers the GLOBAL batch, so the denominator is the
+        # aggregate peak of every device in the mesh, not one chip
+        self.peak_flops = (peak_flops
+                           or _device_peak_flops() * jax.device_count())
         self.window = window
         self._times = []
         self._last = None
