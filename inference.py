@@ -40,6 +40,9 @@ def build_parser():
                         help="(parity flag) use the fused Pallas attention")
     parser.add_argument("-lP", "--lora_path", type=str, default="")
     parser.add_argument("-lR", "--lora_rank", type=int, default=64)
+    parser.add_argument("-lS", "--lora_scale", type=float, default=1.0,
+                        help="runtime LoRA strength (tune_lora_scale parity:"
+                             " 0 = base model, 1 = trained strength)")
     parser.add_argument("-rw", "--remove-watermark", action="store_true")
     parser.add_argument("-l", "--loop", action="store_true")
     parser.add_argument("-r", "--seed", type=int, default=None)
@@ -94,7 +97,8 @@ def main():
         num_steps=args.num_steps, guidance_scale=args.guidance_scale,
         init_video=init_video, init_weight=args.init_weight,
         use_fused_attention=args.xformers or args.sdp,
-        lora_path=args.lora_path, lora_rank=args.lora_rank, loop=args.loop,
+        lora_path=args.lora_path, lora_rank=args.lora_rank,
+        lora_scale=args.lora_scale, loop=args.loop,
         seed=args.seed)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -28,8 +28,11 @@ from .text_to_video import TextToVideoSDPipeline
 
 def initialize_pipeline(model: str, use_fused_attention: bool = True,
                         lora_path: str = "", lora_rank: int = 64,
-                        half: bool = True) -> TextToVideoSDPipeline:
-    """reference inference.py:47-78."""
+                        half: bool = True,
+                        lora_scale: float = 1.0) -> TextToVideoSDPipeline:
+    """reference inference.py:47-78.  `lora_scale` is the runtime alpha of
+    `tune_lora_scale` (reference utils/lora.py:1077-1081): 0 disables the
+    LoRA entirely, 1 applies it at trained strength."""
     from transformers import CLIPTokenizer
     scheduler_config = ckpt.load_scheduler_config(
         os.path.join(model, "scheduler"))
@@ -78,11 +81,40 @@ def initialize_pipeline(model: str, use_fused_attention: bool = True,
                 lora = alt.load_lora_file(f, sites)
             if kind == "unet":
                 unet_params = collapse_lora(unet_params, lora, sites,
-                                            handler.version)
+                                            handler.version,
+                                            alpha=lora_scale)
             else:
                 text_params = collapse_lora(text_params, lora, sites,
-                                            handler.version)
+                                            handler.version,
+                                            alpha=lora_scale)
             print(f"Successfully loaded LoRA from: {f}")
+
+        # textual-inversion embeds: safeloras `<embed>` entries or `.ti.pt`
+        # sidecars under lora_path (reference utils/lora.py:1139-1156 and
+        # patch_pipe's *.ti.pt convention, utils/lora.py:1190-1222)
+        embed_files = []
+        if os.path.isdir(lora_path):
+            for fn in sorted(os.listdir(lora_path)):
+                if fn.endswith(".ti.pt") or fn.endswith(".safetensors"):
+                    embed_files.append(os.path.join(lora_path, fn))
+        elif lora_path.endswith((".ti.pt", ".safetensors")):
+            embed_files.append(lora_path)
+        for f in embed_files:
+            from ..lora.embeds import (apply_learned_embeds_in_clip,
+                                       load_learned_embeds)
+            embeds = load_learned_embeds(f)
+            if embeds:
+                text_params, applied = apply_learned_embeds_in_clip(
+                    embeds, text_params, tokenizer, idempotent=True)
+                print(f"Loaded learned embeds {applied} from: {f}")
+        if embed_files:
+            # the flax module validates the embedding-table shape, so the
+            # config must grow with the tokenizer (the reference's
+            # resize_token_embeddings, utils/lora.py:1128)
+            import dataclasses
+            clip_config = dataclasses.replace(clip_config,
+                                              vocab_size=len(tokenizer))
+            text_encoder = CLIPTextModel(config=clip_config, dtype=dtype)
 
     return TextToVideoSDPipeline(
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
@@ -113,7 +145,8 @@ def inference(model: str, prompt, negative_prompt=None, width: int = 256,
               num_steps: int = 50, guidance_scale: float = 15,
               init_video: Optional[np.ndarray] = None,
               init_weight: float = 0.5, use_fused_attention: bool = True,
-              lora_path: str = "", lora_rank: int = 64, loop: bool = False,
+              lora_path: str = "", lora_rank: int = 64,
+              lora_scale: float = 1.0, loop: bool = False,
               seed: Optional[int] = None) -> np.ndarray:
     """reference inference.py:270-333. Returns (B, C, F, H, W) float."""
     seed = seed if seed is not None else 0
@@ -121,7 +154,7 @@ def inference(model: str, prompt, negative_prompt=None, width: int = 256,
     window_size = window_size or num_frames
 
     pipe = initialize_pipeline(model, use_fused_attention, lora_path,
-                               lora_rank)
+                               lora_rank, lora_scale=lora_scale)
 
     # compel-equivalent weighted prompt embeddings
     prompts = [prompt] if isinstance(prompt, str) else list(prompt)

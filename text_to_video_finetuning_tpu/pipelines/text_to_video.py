@@ -117,6 +117,22 @@ class TextToVideoSDPipeline:
                 negative = list(negative_prompt)
             negative_prompt_embeds = self._encode_text(
                 self.text_params, self.tokenize(negative))
+        if negative_prompt_embeds.shape[1] != prompt_embeds.shape[1]:
+            # long-prompt chunking can give cond/uncond different window
+            # counts; pad the shorter with encoded-empty windows (compel's
+            # pad_conditioning_tensors_to_same_length behavior)
+            target = max(negative_prompt_embeds.shape[1],
+                         prompt_embeds.shape[1])
+            empty = self._encode_text(self.text_params, self.tokenize([""]))
+
+            def pad(e):
+                while e.shape[1] < target:
+                    take = min(empty.shape[1], target - e.shape[1])
+                    fill = jnp.tile(empty[:, :take], (e.shape[0], 1, 1))
+                    e = jnp.concatenate([e, fill.astype(e.dtype)], axis=1)
+                return e
+            prompt_embeds = pad(prompt_embeds)
+            negative_prompt_embeds = pad(negative_prompt_embeds)
         return jnp.concatenate([negative_prompt_embeds, prompt_embeds],
                                axis=0)
 
