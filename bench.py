@@ -10,8 +10,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline is measured against the RTX 3090 + xformers reference estimate
-(~1.0 steps/s at this workload; the reference publishes no numbers --
-BASELINE.json "published": {} -- so this is the recorded proxy target).
+of 1.0 steps/s at this workload (the reference publishes no numbers --
+BASELINE.json "published": {}).  The figure is DERIVED, not measured: 20.7
+TFLOPs/step (15.5 TF two-pass fwd+bwd + grad-ckpt recompute) at 30% of the
+3090's 71 TFLOP/s fp16 peak; full derivation in BASELINE.md.
 """
 
 import json
