@@ -100,6 +100,18 @@ def main():
     args = p.parse_args()
     variants = [
         ("remat+auto", dict(grad_ckpt=True, backend="auto")),
+        ("remat-convouts+auto", dict(grad_ckpt=True, backend="auto",
+                                     remat_policy="conv_outs")),
+        ("remat-convattn+auto", dict(grad_ckpt=True, backend="auto",
+                                     remat_policy="conv_attn")),
+        ("remat-convouts-skiplow+auto",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_outs+skiplow")),
+        ("remat-convattn-skiplow+auto",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn+skiplow")),
+        ("remat-convdots+auto", dict(grad_ckpt=True, backend="auto",
+                                     remat_policy="conv_dots")),
         ("remat-dots+auto", dict(grad_ckpt=True, backend="auto",
                                  remat_policy="dots")),
         ("remat+xla", dict(grad_ckpt=True, backend="xla")),

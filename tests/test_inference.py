@@ -13,13 +13,19 @@ def test_inpaint_watermark_without_ckpt_is_identity(monkeypatch, tmp_path):
     np.testing.assert_array_equal(out, imgs)
 
 
-def test_default_watermark_mask_bottom_right():
+def test_default_watermark_mask_matches_reference_geometry():
+    """The shipped reference utils/mask.png (256x256) is a full-width band
+    whose support is rows 145..191 (measured offline); the default mask
+    must cover exactly that band and scale proportionally."""
     from text_to_video_finetuning_tpu.models.lama import (
         default_watermark_mask)
     m = default_watermark_mask(256, 256)
     assert m.shape == (256, 256, 1)
-    assert m[:200, :].sum() == 0          # top untouched
-    assert m[220:, 180:].all()            # bottom-right covered
+    assert m[:145].sum() == 0             # above the watermark untouched
+    assert m[192:].sum() == 0             # below untouched
+    assert m[145:192].all()               # band fully covered
+    m2 = default_watermark_mask(512, 320)
+    assert m2[:290].sum() == 0 and m2[290:384].all() and m2[384:].sum() == 0
 
 
 def test_prompt_weighting_syntax(tiny_pipeline_dir):

@@ -80,8 +80,10 @@ class TrainConfig:
     mesh_tp: int = 1
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
-    # grad-ckpt saveable set: nothing | dots | conv_outs | conv_dots
-    # (models/unet3d_blocks.py REMAT_POLICIES)
+    # grad-ckpt saveable set: nothing | dots | conv_outs | conv_attn |
+    # conv_dots, optionally with a "+skiplow" suffix (no remat on the
+    # small-activation deepest levels) -- see models/unet3d_blocks.py
+    # REMAT_POLICIES and models/unet3d.py
     remat_policy: str = "nothing"
     fused_groupnorm: bool = False     # pallas one-pass GroupNorm+SiLU
     # False skips the reference's redundant second UNet pass when the text

@@ -22,6 +22,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops.attention import dot_product_attention
 
 
@@ -56,6 +58,10 @@ class CrossAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, scale=self.dim_head ** -0.5,
                                     backend=self.attention_backend)
+        # tagged for the "conv_attn" remat policy (models/unet3d_blocks.py
+        # REMAT_POLICIES): saving this point means the backward pass never
+        # re-runs the attention kernel forward
+        out = checkpoint_name(out, "attn_out")
         out = out.reshape(b, sq, inner_dim)
 
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)

@@ -250,13 +250,18 @@ def load_lama_params(ckpt_path: str) -> Dict:
 
 
 def default_watermark_mask(height: int, width: int) -> np.ndarray:
-    """Bottom-right box covering the ModelScope watermark region (the
-    reference ships a fixed mask.png for 256x256; this reproduces its
-    coverage proportionally)."""
+    """Full-width horizontal band covering the ModelScope watermark region.
+
+    Matches the geometry of the reference's shipped 256x256 utils/mask.png
+    (reference utils/lama.py:317), measured as a full-width band over rows
+    145..191 (y in [0.5664, 0.75)): the watermark text rows at the top of
+    the band have partial per-letter coverage in the png; the solid band
+    here is a slight superset, which only means LaMa inpaints a few extra
+    background pixels."""
     mask = np.zeros((height, width, 1), dtype=np.float32)
-    y0 = int(height * 0.82)
-    x0 = int(width * 0.60)
-    mask[y0:, x0:] = 1.0
+    y0 = int(round(height * (145.0 / 256.0)))
+    y1 = int(round(height * (192.0 / 256.0)))
+    mask[y0:y1, :] = 1.0
     return mask
 
 

@@ -91,8 +91,13 @@ class UNet3DConditionModel(nn.Module):
     config: UNet3DConfig = UNET3D_MS_1_7B_CONFIG
     dtype: jnp.dtype = jnp.float32
     gradient_checkpointing: bool = False
-    # remat saveable-set: "nothing" (reference-equivalent save-nothing) or
-    # "dots" (keep MXU outputs, recompute elementwise chains only)
+    # remat saveable-set (models/unet3d_blocks.py REMAT_POLICIES):
+    # "nothing" (reference-equivalent save-nothing), "dots", "conv_outs",
+    # "conv_attn", "conv_dots".  A "+skiplow" suffix (e.g.
+    # "conv_outs+skiplow") disables remat entirely on the two deepest
+    # down/up levels and the mid block -- their activations are small
+    # (<= 1/16th the spatial extent) so saving everything there costs
+    # little HBM and removes their recompute from the backward pass.
     remat_policy: str = "nothing"
     attention_backend: str = "auto"
     # lower spatial GroupNorm+SiLU chains to the one-pass Pallas kernel
@@ -113,9 +118,21 @@ class UNet3DConditionModel(nn.Module):
             in_channels=cfg.block_out_channels[0], num_layers=1,
             dtype=self.dtype, attention_backend=self.attention_backend)
 
+        base_policy = self.remat_policy
+        skiplow = base_policy.endswith("+skiplow")
+        if skiplow:
+            base_policy = base_policy[:-len("+skiplow")]
+        n_levels = len(cfg.block_out_channels)
+
+        def _remat_kwargs(level: int) -> dict:
+            # level: 0 = highest spatial resolution (first down / last up)
+            if skiplow and level >= max(n_levels - 2, 1):
+                return dict(gradient_checkpointing=False,
+                            remat_policy="nothing")
+            return dict(gradient_checkpointing=self.gradient_checkpointing,
+                        remat_policy=base_policy)
+
         common = dict(dropout=0.0,
-                      gradient_checkpointing=self.gradient_checkpointing,
-                      remat_policy=self.remat_policy,
                       fused_groupnorm=self.fused_groupnorm,
                       dtype=self.dtype,
                       attention_backend=self.attention_backend)
@@ -136,7 +153,8 @@ class UNet3DConditionModel(nn.Module):
                     resnet_groups=cfg.norm_num_groups,
                     cross_attention_dim=cfg.cross_attention_dim,
                     attn_num_head_channels=cfg.attention_head_dim,
-                    downsample_padding=cfg.downsample_padding, **common))
+                    downsample_padding=cfg.downsample_padding, **common,
+                    **_remat_kwargs(i)))
             elif block_type == "DownBlock3D":
                 down_blocks.append(DownBlock3D(
                     num_layers=cfg.layers_per_block,
@@ -144,7 +162,8 @@ class UNet3DConditionModel(nn.Module):
                     temb_channels=time_embed_dim,
                     add_downsample=not is_final, resnet_eps=cfg.norm_eps,
                     resnet_groups=cfg.norm_num_groups,
-                    downsample_padding=cfg.downsample_padding, **common))
+                    downsample_padding=cfg.downsample_padding, **common,
+                    **_remat_kwargs(i)))
             else:
                 raise ValueError(f"unknown down block {block_type}")
         self.down_blocks = down_blocks
@@ -156,7 +175,8 @@ class UNet3DConditionModel(nn.Module):
             output_scale_factor=cfg.mid_block_scale_factor,
             cross_attention_dim=cfg.cross_attention_dim,
             attn_num_head_channels=cfg.attention_head_dim,
-            resnet_groups=cfg.norm_num_groups, **common)
+            resnet_groups=cfg.norm_num_groups, **common,
+            **_remat_kwargs(n_levels - 1))
 
         # up
         up_blocks = []
@@ -177,7 +197,8 @@ class UNet3DConditionModel(nn.Module):
                     add_upsample=not is_final, resnet_eps=cfg.norm_eps,
                     resnet_groups=cfg.norm_num_groups,
                     cross_attention_dim=cfg.cross_attention_dim,
-                    attn_num_head_channels=cfg.attention_head_dim, **common))
+                    attn_num_head_channels=cfg.attention_head_dim, **common,
+                    **_remat_kwargs(n_levels - 1 - i)))
             elif block_type == "UpBlock3D":
                 up_blocks.append(UpBlock3D(
                     num_layers=cfg.layers_per_block + 1,
@@ -185,7 +206,8 @@ class UNet3DConditionModel(nn.Module):
                     prev_output_channel=prev_output_channel,
                     temb_channels=time_embed_dim,
                     add_upsample=not is_final, resnet_eps=cfg.norm_eps,
-                    resnet_groups=cfg.norm_num_groups, **common))
+                    resnet_groups=cfg.norm_num_groups, **common,
+                    **_remat_kwargs(n_levels - 1 - i)))
             else:
                 raise ValueError(f"unknown up block {block_type}")
         self.up_blocks = up_blocks

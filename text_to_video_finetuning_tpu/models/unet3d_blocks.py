@@ -41,6 +41,10 @@ REMAT_POLICIES = {
     # tags), recompute only the cheap GroupNorm/SiLU chains and attention:
     # the right "keep MXU outputs" policy for a conv-dominated UNet
     "conv_outs": ("names", ("conv_out_act",)),
+    # conv outputs AND attention-kernel outputs (models/attention.py tag):
+    # backward never re-runs flash attention forward; still avoids the
+    # dots_saveable set that overflows the remote compiler
+    "conv_attn": ("names", ("conv_out_act", "attn_out")),
     # conv outputs AND dot outputs saved; only elementwise recomputed
     "conv_dots": ("names_and_dots", ("conv_out_act",)),
 }
