@@ -64,8 +64,9 @@ def capture_and_summarize():
         os.path.abspath(__file__))))
     from benchmarks.step_bench import build, run
 
-    jit_step, state, frozen, batch_tree = build(grad_ckpt=True,
-                                                backend="auto")
+    jit_step, state, frozen, batch_tree = build(
+        grad_ckpt=True, backend="auto",
+        remat_policy=os.environ.get("T2V_PROFILE_REMAT", "conv_attn+skiplow"))
     # compile + warm
     state, metrics = jit_step(state, frozen, None, batch_tree)
     jax.block_until_ready(metrics["loss"])

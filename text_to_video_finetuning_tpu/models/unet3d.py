@@ -15,6 +15,7 @@ channel-last NHWC for the TPU conv/matmul units.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Tuple
 
 import flax.linen as nn
@@ -119,14 +120,17 @@ class UNet3DConditionModel(nn.Module):
             dtype=self.dtype, attention_backend=self.attention_backend)
 
         base_policy = self.remat_policy
-        skiplow = base_policy.endswith("+skiplow")
-        if skiplow:
-            base_policy = base_policy[:-len("+skiplow")]
         n_levels = len(cfg.block_out_channels)
+        skip_from = n_levels  # no level skipped
+        m = re.search(r"\+skiplow(\d*)$", base_policy)
+        if m:
+            n_skip = int(m.group(1)) if m.group(1) else 2
+            base_policy = base_policy[:m.start()]
+            skip_from = max(n_levels - n_skip, 1)
 
         def _remat_kwargs(level: int) -> dict:
             # level: 0 = highest spatial resolution (first down / last up)
-            if skiplow and level >= max(n_levels - 2, 1):
+            if level >= skip_from:
                 return dict(gradient_checkpointing=False,
                             remat_policy="nothing")
             return dict(gradient_checkpointing=self.gradient_checkpointing,
