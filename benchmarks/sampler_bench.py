@@ -1,8 +1,14 @@
 """Scan sampler vs host-loop sampler at the full model size (25 steps, CFG,
 16 frames, 256px). Run:
 PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/sampler_bench.py
+
+--hires runs the scan sampler only, at the reference's suggested ZeroScope
+regime (576x320, 24 frames -- reference README "Suggested Settings"):
+2880-token spatial attention, where the Pallas flash kernel carries the
+step.
 """
 
+import argparse
 import json
 import time
 
@@ -18,12 +24,17 @@ from text_to_video_finetuning_tpu.schedulers.dpmsolver import (
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--hires", action="store_true",
+                   help="576x320 24f scan-sampler-only run")
+    args = p.parse_args()
+    frames, lh, lw = (24, 40, 72) if args.hires else (16, 32, 32)
+
     ucfg = UNET3D_MS_1_7B_CONFIG
     unet = UNet3DConditionModel(config=ucfg, dtype=jnp.bfloat16,
                                 attention_backend="auto")
     rng = jax.random.PRNGKey(0)
-    frames = 16
-    sample = jnp.zeros((2, 4, frames, 32, 32), jnp.bfloat16)
+    sample = jnp.zeros((2, 4, frames, lh, lw), jnp.bfloat16)
     text = jnp.zeros((2, 77, ucfg.cross_attention_dim), jnp.bfloat16)
     params = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, jnp.bfloat16),
@@ -33,7 +44,7 @@ def main():
     sched = DPMSolverMultistepScheduler(SchedulerConfig())
     ts = sched.set_timesteps(25)
     coeffs = sched.scan_coeffs()
-    latents = jnp.zeros((1, 4, frames, 32, 32), jnp.float32)
+    latents = jnp.zeros((1, 4, frames, lh, lw), jnp.float32)
     state = sched.init_state(latents.shape)
 
     def scan_once():
@@ -48,6 +59,14 @@ def main():
     out = scan_once()
     _ = float(jnp.sum(out))
     scan_s = time.perf_counter() - t0
+
+    if args.hires:
+        print(json.dumps({
+            "geometry": "576x320x24f (ZeroScope suggested settings)",
+            "scan_sampler_s_per_video": round(scan_s, 2),
+            "scan_sampler_s_per_frame": round(scan_s / frames, 3),
+        }))
+        return
 
     fwd = jax.jit(lambda p, s, t, e: unet.apply({"params": p}, s, t, e))
 

@@ -80,6 +80,31 @@ def test_unet_gradient_checkpointing_matches(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_remat_policies_same_gradients(rng):
+    """Every remat saveable-set (incl. the +skiplowN per-level disable) is
+    a pure scheduling choice: gradients must match save-nothing remat."""
+    cfg = micro_unet_config()
+    sample = jax.random.normal(rng, (1, 4, 2, 16, 16))
+    text = jax.random.normal(rng, (1, 77, cfg.cross_attention_dim))
+    base = UNet3DConditionModel(config=cfg, gradient_checkpointing=True)
+    params = jax.jit(base.init)(rng, sample, jnp.array([1]), text)["params"]
+
+    def grads(model):
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, sample,
+                                       jnp.array([1]), text) ** 2)
+        return jax.tree_util.tree_leaves(jax.grad(loss)(params))
+
+    ref = grads(base)
+    for pol in ["conv_attn", "conv_attn+skiplow3"]:
+        got = grads(UNet3DConditionModel(config=cfg,
+                                         gradient_checkpointing=True,
+                                         remat_policy=pol))
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=pol)
+
+
 def test_vae_roundtrip_shapes(rng):
     cfg = tiny_vae_config()
     vae = AutoencoderKL(config=cfg)
