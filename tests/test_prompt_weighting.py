@@ -36,6 +36,20 @@ def test_parse_nested_weights_multiply():
     np.testing.assert_allclose(d["b"], 3.0)
 
 
+def test_parse_explicit_zero_weight():
+    # compel: (text)0 nulls the span; 0 must not fall back to the 1.1
+    # paren default (falsy-zero regression)
+    assert parse_weighted_prompt("(zero)0 x") == [
+        ("zero", 0.0), (" x", 1.0)]
+
+
+def test_parse_unmatched_paren_keeps_text():
+    # unbalanced opener: the rest of the prompt is the span, nothing
+    # truncated (the last char used to be dropped)
+    assert parse_weighted_prompt("a photo (c. 1920") == [
+        ("a photo ", 1.0), ("c. 1920", 1.1)]
+
+
 def test_parse_compound_forms():
     op, parts, weights = _parse_compound(
         '("a cat", "a dog").blend(0.7, 0.3)')
@@ -86,6 +100,15 @@ def test_and_concatenates(pipe):
                                                     '.and()']))
     assert both.shape[1] == 154
     np.testing.assert_allclose(both[0, :77], a[0], atol=1e-6)
+    np.testing.assert_allclose(both[0, 77:], b[0], atol=1e-6)
+
+
+def test_and_applies_weights(pipe):
+    a = np.asarray(encode_weighted_prompt(pipe, ["a cat"]))
+    b = np.asarray(encode_weighted_prompt(pipe, ["a dog"]))
+    both = np.asarray(encode_weighted_prompt(
+        pipe, ['("a cat", "a dog").and(0.25, 1.0)']))
+    np.testing.assert_allclose(both[0, :77], 0.25 * a[0], atol=1e-6)
     np.testing.assert_allclose(both[0, 77:], b[0], atol=1e-6)
 
 

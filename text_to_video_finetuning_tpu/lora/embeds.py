@@ -26,7 +26,12 @@ def load_learned_embeds(path: str) -> Dict[str, np.ndarray]:
         d = torch.load(path, map_location="cpu", weights_only=True)
         return {k: np.asarray(v, dtype=np.float32) for k, v in d.items()}
     from .formats import parse_safeloras
-    _, embeds = parse_safeloras(path)
+    try:
+        _, embeds = parse_safeloras(path)
+    except Exception:
+        # not a safeloras file (e.g. a kohya/webui LoRA whose metadata is
+        # not the safeloras JSON scheme) -- it simply carries no embeds
+        return {}
     return {k: np.asarray(v, dtype=np.float32) for k, v in embeds.items()}
 
 
@@ -53,7 +58,9 @@ def apply_learned_embeds_in_clip(
 
     flat = dict(flatten_dict(text_params))
     table_key = ("token_embedding", "embedding")
-    table = np.asarray(flat[table_key])
+    # owned host copy: the in-place row writes below must never alias the
+    # caller's (possibly read-only, jax-backed) table
+    table = np.array(flat[table_key])
     hidden = table.shape[1]
 
     applied = []

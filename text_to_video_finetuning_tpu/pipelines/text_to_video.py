@@ -121,16 +121,18 @@ class TextToVideoSDPipeline:
             # long-prompt chunking can give cond/uncond different window
             # counts; pad the shorter with encoded-empty windows (compel's
             # pad_conditioning_tensors_to_same_length behavior)
+            from ..utils.prompt_weighting import pad_with_empty
             target = max(negative_prompt_embeds.shape[1],
                          prompt_embeds.shape[1])
-            empty = self._encode_text(self.text_params, self.tokenize([""]))
+            empty = self._encode_text(self.text_params,
+                                      self.tokenize([""]))[0]
 
             def pad(e):
-                while e.shape[1] < target:
-                    take = min(empty.shape[1], target - e.shape[1])
-                    fill = jnp.tile(empty[:, :take], (e.shape[0], 1, 1))
-                    e = jnp.concatenate([e, fill.astype(e.dtype)], axis=1)
-                return e
+                if e.shape[1] >= target:
+                    return e
+                return jnp.stack([
+                    pad_with_empty(e[i], target, empty.astype(e.dtype))
+                    for i in range(e.shape[0])])
             prompt_embeds = pad(prompt_embeds)
             negative_prompt_embeds = pad(negative_prompt_embeds)
         return jnp.concatenate([negative_prompt_embeds, prompt_embeds],

@@ -164,10 +164,14 @@ def handle_cache_latents(cfg: TrainConfig, output_dir: str, loader,
             shutil.copyfile(f"{cache_dir}/cached_{written - 1}{ext}",
                             f"{cache_dir}/cached_{written}{ext}")
             written += 1
+    # preserve the training loader's shape-grouped batching: cached items
+    # keep their per-bucket (h, w), and stacking mixed shapes would fail
     return DataLoader(CachedDataset(cache_dir=cache_dir),
                       batch_size=local_bs, shuffle=False, num_workers=0,
                       pad_last=True, num_shards=shards[0],
-                      shard_index=shards[1])
+                      shard_index=shards[1],
+                      bucket_batching=getattr(loader, "bucket_batching",
+                                              False))
 
 
 def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
@@ -500,6 +504,7 @@ def main(**kwargs):
         run_steps = 0
         last_prompt = ""
         window_losses = []
+        pending_losses = []   # buffered (global_step, device loss scalar)
         t_start = time.time()
 
         # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
@@ -578,14 +583,20 @@ def main(**kwargs):
                               if window_losses else metrics["loss"])
                 window_losses = []
 
-                if writer is not None:
-                    # reference logs train_loss at every optimizer step
-                    # (accelerator.log, reference train.py:889)
-                    writer.add_scalar("train_loss", float(
-                        jax.device_get(train_loss)), global_step)
+                # reference logs train_loss at every optimizer step
+                # (accelerator.log, reference train.py:889); buffer the
+                # device scalar and flush on the %10 boundary so the host
+                # never blocks mid-window (a device_get here would cap the
+                # async dispatch depth at ~1 step)
+                pending_losses.append((global_step, train_loss))
 
                 if global_step % 10 == 0 or global_step == 1:
                     m = jax.device_get(metrics)
+                    if writer is not None:
+                        for gs, tl in pending_losses:
+                            writer.add_scalar(
+                                "train_loss", float(jax.device_get(tl)), gs)
+                    pending_losses = []
                     stats = timer.stats()
                     logger.info(
                         f"step {global_step} "
@@ -662,5 +673,7 @@ def main(**kwargs):
                       cfg.pretrained_model_path, models, params_now,
                       lora_now, lora_manager, is_checkpoint=False)
     if writer is not None:
+        for gs, tl in pending_losses:
+            writer.add_scalar("train_loss", float(jax.device_get(tl)), gs)
         writer.close()
     return output_dir

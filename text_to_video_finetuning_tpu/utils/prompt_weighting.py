@@ -53,11 +53,15 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
                 inner_close = ")" if ch == "(" else "]"
                 base = 1.1 if ch == "(" else 0.9
                 # find matching close to look at the suffix afterwards
-                end = _walk_span(s, pos + 1, inner_close)
+                end, matched = _walk_span(s, pos + 1, inner_close)
                 suffix_mult, consumed = _parse_suffix(s, end)
-                inner_weight = (weight * suffix_mult if suffix_mult
+                inner_weight = (weight * suffix_mult
+                                if suffix_mult is not None
                                 else weight * base)
-                walk_inner(s[pos + 1:end - 1], inner_weight)
+                # unmatched opener: the span runs to end-of-string and
+                # there is no closer char to exclude from the slice
+                inner_end = end - 1 if matched else end
+                walk_inner(s[pos + 1:inner_end], inner_weight)
                 pos = end + consumed
                 plain_start = pos
                 continue
@@ -71,8 +75,8 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
         for text, w in sub:
             emit(text, weight * w)
 
-    def _walk_span(s: str, pos: int, closer: str) -> int:
-        """Return index one past the matching closer."""
+    def _walk_span(s: str, pos: int, closer: str):
+        """Return (index one past the matching closer, matched?)."""
         opener = "(" if closer == ")" else "["
         depth = 1
         while pos < len(s):
@@ -81,9 +85,9 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
             elif s[pos] == closer:
                 depth -= 1
                 if depth == 0:
-                    return pos + 1
+                    return pos + 1, True
             pos += 1
-        return pos
+        return pos, False
 
     def _parse_suffix(s: str, pos: int):
         """Weight suffix after a closed span: number, '+'*n, or '-'*n.
@@ -101,7 +105,7 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
         return 0.9 ** len(m.group(3)), len(m.group(3))
 
     walk(prompt, 0, 1.0, "")
-    return [(t, w) for t, w in out if t.strip("") != ""]
+    return [(t, w) for t, w in out if t.strip() != ""]
 
 
 def _tokenize_weighted(tokenizer, prompt: str):
@@ -170,6 +174,17 @@ def _parse_compound(prompt: str):
     return op, parts, weights[:len(parts)]
 
 
+def pad_with_empty(e: jnp.ndarray, target_len: int,
+                   empty: jnp.ndarray) -> jnp.ndarray:
+    """Pad a (L, D) embedding to target_len rows with repeated
+    encoded-empty 77-token windows (compel's long-prompt alignment)."""
+    if e.shape[0] >= target_len:
+        return e
+    reps = -(-(target_len - e.shape[0]) // empty.shape[0])
+    pad = jnp.concatenate([empty] * reps, axis=0)
+    return jnp.concatenate([e, pad[:target_len - e.shape[0]]], axis=0)
+
+
 def _encode_one(pipe, prompt: str) -> jnp.ndarray:
     compound = _parse_compound(prompt)
     if compound is None:
@@ -177,17 +192,15 @@ def _encode_one(pipe, prompt: str) -> jnp.ndarray:
     op, parts, weights = compound
     encoded = [_encode_flat(pipe, p) for p in parts]
     if op == "and":
+        # weighted conjunction: compel scales each sub-prompt's embedding
+        # by its weight before concatenating along the sequence axis
+        if any(w != 1.0 for w in weights):
+            encoded = [w * e for w, e in zip(weights, encoded)]
         return jnp.concatenate(encoded, axis=0)
     # blend: pad to the longest, normalized weighted sum (compel default)
     max_l = max(e.shape[0] for e in encoded)
     empty = _encode_flat(pipe, "")
-    padded = []
-    for e in encoded:
-        if e.shape[0] < max_l:
-            reps = -(-(max_l - e.shape[0]) // empty.shape[0])
-            pad = jnp.concatenate([empty] * reps, axis=0)
-            e = jnp.concatenate([e, pad[:max_l - e.shape[0]]], axis=0)
-        padded.append(e)
+    padded = [pad_with_empty(e, max_l, empty) for e in encoded]
     total = sum(abs(w) for w in weights) or 1.0
     norm_w = [w / total for w in weights]
     return sum(w * e for w, e in zip(norm_w, padded))
@@ -199,11 +212,5 @@ def encode_weighted_prompt(pipe, prompts: List[str]) -> jnp.ndarray:
     max_l = max(e.shape[0] for e in encoded)
     if any(e.shape[0] != max_l for e in encoded):
         empty = _encode_flat(pipe, "")
-        out = []
-        for e in encoded:
-            while e.shape[0] < max_l:
-                take = min(empty.shape[0], max_l - e.shape[0])
-                e = jnp.concatenate([e, empty[:take]], axis=0)
-            out.append(e)
-        encoded = out
+        encoded = [pad_with_empty(e, max_l, empty) for e in encoded]
     return jnp.stack(encoded)
