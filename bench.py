@@ -33,11 +33,13 @@ BASELINE_STEPS_PER_SEC = 1.0   # RTX 3090 + xformers proxy (BASELINE.md)
 def main():
     from step_bench import build
 
-    # conv_attn+skiplow3: save tagged conv + attention outputs under remat,
-    # remat only the highest-resolution UNet level -- measured fastest
-    # policy on v5e (benchmarks/RESULTS.md remat-policy table)
+    # conv_attn_dense+skiplow3: save tagged conv + attention + transformer
+    # dense outputs under remat, remat only the highest-resolution UNet
+    # level -- measured fastest policy on v5e (benchmarks/RESULTS.md
+    # remat-policy table)
     jit_step, state, frozen, batch_tree = build(
-        grad_ckpt=True, backend="auto", remat_policy="conv_attn+skiplow3")
+        grad_ckpt=True, backend="auto",
+        remat_policy="conv_attn_dense+skiplow3")
 
     # warmup/compile (float() forces a host readback: block_until_ready on
     # the tunneled TPU can return before the queue drains)

@@ -115,6 +115,9 @@ def main():
         ("remat-convattn-skiplow3+auto",
          dict(grad_ckpt=True, backend="auto",
               remat_policy="conv_attn+skiplow3")),
+        ("remat-convattndense-skiplow3+auto",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3")),
         # fused GN stacked on the winning policy: GN stat passes are 23
         # ms/step at 463 GB/s in the trace -- the one-pass kernel removes
         # the separate stats read

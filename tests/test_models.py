@@ -96,7 +96,7 @@ def test_remat_policies_same_gradients(rng):
         return jax.tree_util.tree_leaves(jax.grad(loss)(params))
 
     ref = grads(base)
-    for pol in ["conv_attn", "conv_attn+skiplow3"]:
+    for pol in ["conv_attn", "conv_attn_dense+skiplow3"]:
         got = grads(UNet3DConditionModel(config=cfg,
                                          gradient_checkpointing=True,
                                          remat_policy=pol))

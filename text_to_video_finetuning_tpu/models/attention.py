@@ -65,6 +65,7 @@ class CrossAttention(nn.Module):
         out = out.reshape(b, sq, inner_dim)
 
         out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        out = checkpoint_name(out, "dense_out")
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
@@ -93,7 +94,7 @@ class FeedForward(nn.Module):
         h = GEGLU(inner_dim, dtype=self.dtype, name="net_0")(hidden_states)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
-        return h
+        return checkpoint_name(h, "dense_out")
 
 
 class BasicTransformerBlock(nn.Module):

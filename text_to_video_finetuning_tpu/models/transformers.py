@@ -21,6 +21,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from .attention import BasicTransformerBlock
 
 
@@ -47,6 +49,7 @@ class Transformer2DModel(nn.Module):
                          dtype=self.dtype, name="norm")(hidden_states)
         h = h.reshape(bf, height * width, channels)
         h = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(h)
+        h = checkpoint_name(h, "dense_out")
 
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
@@ -60,6 +63,7 @@ class Transformer2DModel(nn.Module):
             )(h, encoder_hidden_states, deterministic=deterministic)
 
         h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
+        h = checkpoint_name(h, "dense_out")
         h = h.reshape(bf, height, width, self.in_channels)
         return h + residual
 
@@ -96,6 +100,7 @@ class TransformerTemporalModel(nn.Module):
         h = h.transpose(0, 2, 3, 1, 4).reshape(batch * height * width,
                                                num_frames, channels)
         h = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(h)
+        h = checkpoint_name(h, "dense_out")
 
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
@@ -109,6 +114,7 @@ class TransformerTemporalModel(nn.Module):
             )(h, encoder_hidden_states, deterministic=deterministic)
 
         h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
+        h = checkpoint_name(h, "dense_out")
         h = h.reshape(batch, height, width, num_frames, self.in_channels)
         h = h.transpose(0, 3, 1, 2, 4).reshape(bf, height, width,
                                                self.in_channels)

@@ -45,6 +45,12 @@ REMAT_POLICIES = {
     # backward never re-runs flash attention forward; still avoids the
     # dots_saveable set that overflows the remote compiler
     "conv_attn": ("names", ("conv_out_act", "attn_out")),
+    # conv + attention + transformer dense projections / FF outputs:
+    # only GroupNorm/LayerNorm/SiLU chains and the softmax remain
+    # recomputed -- the named near-equivalent of conv_dots that stays
+    # inside the remote compiler's limits
+    "conv_attn_dense": ("names", ("conv_out_act", "attn_out",
+                                  "dense_out")),
     # conv outputs AND dot outputs saved; only elementwise recomputed
     "conv_dots": ("names_and_dots", ("conv_out_act",)),
 }
