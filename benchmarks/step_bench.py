@@ -14,7 +14,8 @@ import jax.numpy as jnp
 
 def build(grad_ckpt: bool, backend: str, frames: int = 16,
           remat_policy: str = "nothing", two_pass: bool = True,
-          fused_groupnorm: bool = False, latent_hw=(32, 32)):
+          fused_groupnorm: bool = False, latent_hw=(32, 32),
+          lora_branch: bool = True, batch: int = 1):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -35,7 +36,6 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
                                 fused_groupnorm=fused_groupnorm,
                                 attention_backend=backend)
     clip = CLIPTextModel(config=CLIP_MS_TEXT_CONFIG, dtype=jnp.bfloat16)
-    batch = 1
     rng = jax.random.PRNGKey(0)
 
     def zeros_like_shape(tree):
@@ -70,6 +70,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         unet=unet, text_encoder=clip, vae=None,
         scheduler=DDPMScheduler(SchedulerConfig()),
         unet_sites=tuple(unet_sites), lora_version="cloneofsimo",
+        lora_branch=lora_branch,
         cache_latents=True, use_offset_noise=False, two_pass=two_pass)
     train_step = make_train_step(step_cfg, optimizer)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
@@ -117,6 +118,14 @@ def main():
               remat_policy="conv_attn+skiplow3")),
         ("remat-convattndense-skiplow3+auto",
          dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3")),
+        # LoRA branch form vs merged overlay (round 3): branch avoids the
+        # full weight-grad convolutions for LoRA'd kernels
+        ("branch-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", lora_branch=True,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("overlay-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", lora_branch=False,
               remat_policy="conv_attn_dense+skiplow3")),
         # fused GN stacked on the winning policy: GN stat passes are 23
         # ms/step at 463 GB/s in the trace -- the one-pass kernel removes

@@ -52,6 +52,10 @@ def build_parser():
 def main():
     args = build_parser().parse_args()
 
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
+
     import jax
     import jax.numpy as jnp
     from text_to_video_finetuning_tpu.pipelines.inference import (

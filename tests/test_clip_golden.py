@@ -9,6 +9,10 @@ import numpy as np
 import pytest
 
 
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def torch_clip():
     import torch

@@ -5,6 +5,10 @@ import numpy as np
 import pytest
 
 
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 def test_inpaint_watermark_without_ckpt_is_identity(monkeypatch, tmp_path):
     from text_to_video_finetuning_tpu.models.lama import inpaint_watermark
     monkeypatch.delenv("LAMA_CKPT", raising=False)

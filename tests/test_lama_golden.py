@@ -14,6 +14,10 @@ import jax.numpy as jnp
 from torch_ref import lama as tref
 
 
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 def _randomize(model, seed):
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():

@@ -82,6 +82,54 @@ def test_cloneofsimo_overlay_equals_branch_math(unet_setup, rng):
                                atol=1e-4)
 
 
+def test_branch_collection_matches_overlay_full_model(unet_setup, rng):
+    """The branch execution path (models/lora_layers.py, 'lora' variable
+    collection, reference utils/lora.py:57-62 semantics) must match the
+    merged overlay numerically through the FULL tiny UNet -- loss AND
+    gradients wrt the lora tree, for linear + conv2d + conv3d sites, with
+    and without (weight-)dropout."""
+    from text_to_video_finetuning_tpu.lora.overlay import (
+        prepare_branch_collection)
+    cfg, unet, params, sample, text = unet_setup
+    sites = select_sites(
+        enumerate_unet_sites(cfg),
+        ["ResnetBlock2D", "TemporalConvLayer", "CrossAttention"])
+    assert {s.kind for s in sites} == {"linear", "conv2d", "conv3d"}
+    k1, k2, k3, kd = jax.random.split(rng, 4)
+    lora = init_lora_params(k1, sites, rank=4)
+    leaves, treedef = jax.tree_util.tree_flatten(lora)
+    keys = jax.random.split(k1, len(leaves))
+    lora = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) * 0.05
+                  for k, l in zip(keys, leaves)])
+    sample_r = jax.random.normal(k2, sample.shape)
+    text_r = jax.random.normal(k3, text.shape)
+
+    for drop_rng, rate in ((None, 0.0), (kd, 0.3)):
+        def loss_overlay(l):
+            eff = apply_lora(params, l, sites, "cloneofsimo",
+                             dropout_rng=drop_rng, dropout_rate=rate)
+            out = unet.apply({"params": eff}, sample_r, jnp.array([1]),
+                             text_r)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_branch(l):
+            col = prepare_branch_collection(l, sites, dropout_rng=drop_rng,
+                                            dropout_rate=rate)
+            out = unet.apply({"params": params, "lora": col}, sample_r,
+                             jnp.array([1]), text_r)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        la, ga = jax.value_and_grad(loss_overlay)(lora)
+        lb, gb = jax.value_and_grad(loss_branch)(lora)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-3)
+
+
 def test_zero_init_is_identity(unet_setup, rng):
     cfg, unet, params, sample, text = unet_setup
     for version in ("cloneofsimo", "stable_lora"):

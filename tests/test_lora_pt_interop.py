@@ -20,7 +20,12 @@ from text_to_video_finetuning_tpu.lora.sites import (
     enumerate_text_encoder_sites, enumerate_unet_sites, select_sites)
 
 from torch_ref import unet3d as tref
+import pytest
 
+
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 def find_modules(model, ancestor_classes, search_classes):
     """The reference's _find_modules_v2 mechanics

@@ -14,6 +14,10 @@ import numpy as np
 import pytest
 
 
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 def _base_config(pipeline_dir, video_path, tmp_path, **overrides):
     cfg = dict(
         pretrained_model_path=pipeline_dir,
@@ -353,6 +357,103 @@ def test_single_pass_knob_halves_unet_work(tiny_pipeline_dir):
                                rtol=1e-6)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-5)
+
+
+def test_hybrid_text_encoder_two_pass_gradients(tiny_pipeline_dir):
+    """The reference's signature hybrid behavior (train.py:806-834): with a
+    trainable text path, text gradients flow ONLY through the frame-1
+    pass-1 -- pass 0 sees DETACHED embeddings.  Asserts (i) text-side grads
+    are nonzero through the full loss, (ii) grads of the pass-0 term alone
+    are exactly zero (the stop_gradient works), (iii) grads of the pass-1
+    term alone are nonzero."""
+    from text_to_video_finetuning_tpu.lora.handler import LoraHandler
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import TrainStepConfig
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.training.train_step import make_loss_fn
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+    rng = jax.random.PRNGKey(3)
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          use_text_lora=True)
+    unet_lora, unet_sites, _ = handler.add_lora_to_model(
+        True, "unet", ucfg, r=4, rng=rng)
+    text_lora, text_sites, _ = handler.add_lora_to_model(
+        True, "text_encoder", ccfg, r=4, rng=rng)
+    # non-zero 'up' so lora grads can flow (up=0 at init blocks the down
+    # gradient path)
+    bump = lambda t: jax.tree_util.tree_map(
+        lambda x: x + 0.02 if x.ndim >= 2 else x, t)
+    unet_lora, text_lora = bump(unet_lora), bump(text_lora)
+    trainable = {"unet_lora": unet_lora, "text_lora": text_lora}
+    frozen = {"unet": unet_params, "text": text_params}
+
+    for lora_branch in (True, False):
+        cfg = TrainStepConfig(
+            unet=unet, text_encoder=clip, vae=vae,
+            scheduler=DDPMScheduler(sched_cfg),
+            unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
+            cache_latents=True, eval_train=True, lora_branch=lora_branch)
+        loss_fn = make_loss_fn(cfg)
+        batch = {"pixel_values": jax.random.normal(rng, (1, 4, 4, 4, 4)),
+                 "prompt_ids": jnp.ones((1, 77), jnp.int32)}
+
+        def term(which):
+            def f(t):
+                loss, aux = loss_fn(t, frozen, vae_params, batch, rng)
+                return {"total": loss, "loss0": aux["loss0"],
+                        "loss1": aux["loss1"]}[which]
+            return jax.jit(jax.grad(f))(trainable)
+
+        g_total = term("total")
+        text_norm = float(optax_global_norm(g_total["text_lora"]))
+        assert text_norm > 0.0, "text grads must flow through the full loss"
+        assert float(optax_global_norm(g_total["unet_lora"])) > 0.0
+
+        # pass 0 is detached for text: gradient of loss0 wrt text == 0
+        g0 = term("loss0")
+        np.testing.assert_allclose(
+            float(optax_global_norm(g0["text_lora"])), 0.0, atol=0.0,
+            err_msg=f"pass-0 text detach broken (lora_branch={lora_branch})")
+        assert float(optax_global_norm(g0["unet_lora"])) > 0.0
+
+        # pass 1 (frame-1, trainable text) carries the text gradient
+        g1 = term("loss1")
+        assert float(optax_global_norm(g1["text_lora"])) > 0.0
+
+
+def optax_global_norm(tree):
+    import optax
+    return optax.global_norm(tree)
+
+
+def test_hybrid_text_lora_engine_saves_sidecar(tiny_pipeline_dir, tiny_video,
+                                               tmp_path):
+    """Engine run with use_text_lora=True + train_text_encoder=True: loss
+    finite and the text-encoder LoRA sidecar is written (reference
+    utils/lora_handler.py:279-303 naming)."""
+    from text_to_video_finetuning_tpu.training.engine import main
+    cfg = _base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        max_train_steps=2,
+        trainable_modules=None,
+        train_text_encoder=True,
+        use_unet_lora=True, use_text_lora=True,
+        lora_version="cloneofsimo", lora_rank=4,
+        unet_lora_modules=("Transformer2DModel",),
+        text_encoder_lora_modules=("CLIPEncoderLayer",))
+    out_dir = main(**cfg)
+    lora_files = glob.glob(os.path.join(out_dir, "lora", "*text_encoder*"))
+    assert lora_files, "text-encoder LoRA sidecar missing"
+    assert glob.glob(os.path.join(out_dir, "lora", "*unet*"))
 
 
 def test_grad_accumulation_counts_optimizer_updates(tiny_pipeline_dir,

@@ -172,6 +172,45 @@ def test_mid_block_golden():
     assert_close(ours, ref)
 
 
+def test_mid_block_golden_single_frame_runs_leading_temp_conv():
+    """f=1 with gradient checkpointing OFF: the reference mid block runs
+    the leading temp_convs[0] UNCONDITIONALLY (reference
+    models/unet_3d_blocks.py:387 -- no num_frames>1 guard), unlike the
+    checkpointed path which skips it via is_video (:56-70).  With
+    randomize() the temporal conv4 is non-zero, so this golden fails if
+    either side adds/drops the guard."""
+    from text_to_video_finetuning_tpu.models.unet3d_blocks import (
+        UNetMidBlock3DCrossAttn)
+    tm = randomize(tref.UNetMidBlock3DCrossAttn(
+        32, 24, 1, 1e-5, 8, 8, 12, gradient_checkpointing=False), 35).eval()
+    x = torch.randn(2, 32, 4, 4, generator=torch.Generator().manual_seed(36))
+    temb = torch.randn(2, 24, generator=torch.Generator().manual_seed(37))
+    ctx = torch.randn(2, 5, 12, generator=torch.Generator().manual_seed(38))
+    with torch.no_grad():
+        ref = tm(x, temb, ctx, 1).numpy()
+
+    fm = UNetMidBlock3DCrossAttn(
+        in_channels=32, temb_channels=24, num_layers=1, resnet_eps=1e-5,
+        resnet_groups=8, attn_num_head_channels=8, cross_attention_dim=12,
+        gradient_checkpointing=False)
+    ours = fm.apply({"params": to_flax(tm)},
+                    jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                    jnp.asarray(temb.numpy()),
+                    jnp.asarray(ctx.numpy()), 1, True)
+    assert_close(ours, ref)
+    # and the checkpointed flavor skips it: outputs must DIFFER (is_video
+    # guard, reference models/unet_3d_blocks.py:56-70)
+    fm_gc = UNetMidBlock3DCrossAttn(
+        in_channels=32, temb_channels=24, num_layers=1, resnet_eps=1e-5,
+        resnet_groups=8, attn_num_head_channels=8, cross_attention_dim=12,
+        gradient_checkpointing=True)
+    ours_gc = fm_gc.apply({"params": to_flax(tm)},
+                          jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                          jnp.asarray(temb.numpy()),
+                          jnp.asarray(ctx.numpy()), 1, True)
+    assert not np.allclose(np.asarray(ours_gc), np.asarray(ours), atol=1e-5)
+
+
 # ------------------------------------------------------------- full model
 
 
@@ -194,24 +233,32 @@ def _run_pair(cfg, batch, frames, size, seed, atol=3e-4):
     np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet_micro_golden_multiframe():
     from text_to_video_finetuning_tpu.models.unet3d import micro_unet_config
     _run_pair(micro_unet_config(), batch=2, frames=3, size=8, seed=20)
 
 
+@pytest.mark.slow
 def test_unet_micro_golden_single_frame():
     """f=1 skips all temporal modules (reference
-    models/unet_3d_blocks.py:25-28 via the num_frames>1 guards)."""
+    models/unet_3d_blocks.py:25-28 via the num_frames>1 guards) EXCEPT the
+    mid block's leading temp_convs[0], which the non-checkpointed reference
+    path runs unconditionally (reference models/unet_3d_blocks.py:387);
+    both models here run with checkpointing off, so that path is covered
+    end-to-end."""
     from text_to_video_finetuning_tpu.models.unet3d import micro_unet_config
     _run_pair(micro_unet_config(), batch=2, frames=1, size=8, seed=21)
 
 
+@pytest.mark.slow
 def test_unet_tiny_golden_full_topology():
     """4-level geometry: every block type, 3 downsamplers/upsamplers."""
     from text_to_video_finetuning_tpu.models.unet3d import tiny_unet_config
     _run_pair(tiny_unet_config(), batch=1, frames=2, size=16, seed=22)
 
 
+@pytest.mark.slow
 def test_unet_tiny_golden_forward_upsample_size():
     """Odd spatial size exercises the forward_upsample_size interpolation
     override (reference models/unet_3d_condition.py:361-367,456-485)."""

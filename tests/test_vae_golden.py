@@ -15,7 +15,12 @@ from text_to_video_finetuning_tpu.utils.checkpoint import state_dict_to_flax
 
 from torch_ref import vae as tref
 from test_unet_golden import randomize
+import pytest
 
+
+# torch-golden / e2e-compile heavy: excluded by the fast
+# profile `pytest -m "not slow"` (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 def _pair(seed=0):
     cfg = tiny_vae_config()

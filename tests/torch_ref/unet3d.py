@@ -345,8 +345,13 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     models/unet_3d_blocks.py:386-417)."""
 
     def __init__(self, in_channels, temb_channels, num_layers, eps, groups,
-                 head_dim, cross_dim, output_scale_factor=1.0):
+                 head_dim, cross_dim, output_scale_factor=1.0,
+                 gradient_checkpointing=False):
         super().__init__()
+        # reference models/unet_3d_blocks.py:387: the non-checkpointed path
+        # runs temp_convs[0] with no f>1 guard; the checkpointed path skips
+        # it at f=1 (is_video, :56-70)
+        self.gradient_checkpointing = gradient_checkpointing
         resnets = [ResnetBlock2D(in_channels, in_channels, temb_channels,
                                  groups, eps, output_scale_factor)]
         temp_convs = [TemporalConvLayer(in_channels, in_channels)]
@@ -369,7 +374,7 @@ class UNetMidBlock3DCrossAttn(nn.Module):
 
     def forward(self, x, temb, context, num_frames):
         x = self.resnets[0](x, temb)
-        if num_frames > 1:
+        if num_frames > 1 or not self.gradient_checkpointing:
             x = self.temp_convs[0](x, num_frames)
         for attn, tattn, res, tc in zip(self.attentions,
                                         self.temp_attentions,

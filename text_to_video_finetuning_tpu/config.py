@@ -81,11 +81,16 @@ class TrainConfig:
     mesh_sp: int = 1            # sequence (frame-axis) parallelism
     attention_backend: str = "auto"   # auto | xla | pallas
     # grad-ckpt saveable set: nothing | dots | conv_outs | conv_attn |
-    # conv_dots, optionally with a "+skiplow" suffix (no remat on the
-    # small-activation deepest levels) -- see models/unet3d_blocks.py
-    # REMAT_POLICIES and models/unet3d.py
+    # conv_attn_dense | conv_dots, optionally with a "+skiplow"/"+skiplowN"
+    # suffix (no remat on the N smallest-activation deepest levels; the
+    # shipped configs and bench.py default to conv_attn_dense+skiplow3) --
+    # see models/unet3d_blocks.py REMAT_POLICIES and models/unet3d.py
     remat_policy: str = "nothing"
     fused_groupnorm: bool = False     # pallas one-pass GroupNorm+SiLU
+    # cloneofsimo LoRA as the reference's branch form (base + up(down(x)))
+    # in the train step: avoids full weight-grad convs for LoRA'd kernels
+    # (models/lora_layers.py); False falls back to the merged overlay
+    lora_branch: bool = True
     # False skips the reference's redundant second UNet pass when the text
     # encoder is frozen (~2x faster LoRA steps, expectation-equal gradients)
     two_pass_loss: bool = True

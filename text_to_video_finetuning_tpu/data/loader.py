@@ -71,6 +71,11 @@ class DataLoader:
         self._rng = np.random.RandomState(seed)
 
     def __len__(self):
+        """Batch count; an UPPER BOUND when bucket_batching is on (each
+        bucket shape drops its own partial remainder under drop_last, which
+        item shapes can't predict without loading).  Consumers that must
+        hit an exact step count should loop epochs until done (the training
+        engine does: engine.py main loop)."""
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size

@@ -136,6 +136,44 @@ def _delta_stable(site: LoraSite, a, b, scaling: float):
     raise ValueError(site.kind)
 
 
+def _masked_down(down, key, rate: float):
+    """Inverted-dropout Bernoulli mask on the down matrix (the overlay's
+    weight-dropout approximation of the reference's branch dropout,
+    reference utils/lora.py:57-62); shared by the overlay and branch paths
+    so both draw the SAME mask from the same rng."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, down.shape)
+    return down * keep / (1.0 - rate)
+
+
+def prepare_branch_collection(lora_params: Dict, sites: Sequence[LoraSite],
+                              scale: float = 1.0, dropout_rng=None,
+                              dropout_rate: float = 0.0) -> Dict:
+    """Fold scale/dropout into the lora tree for the BRANCH execution path
+    (models/lora_layers.py): the returned tree is passed to `model.apply`
+    as the "lora" variable collection, where each LoraDense/LoraConv reads
+    {'down','up'} at its own scope and computes base(x) + up(down(x)).
+
+    cloneofsimo only -- loralib's conv flavor is defined as a merged
+    forward (reference stable_lora/lora.py:190-197) and must use
+    apply_lora."""
+    flat = dict(flatten_dict(lora_params))
+    drop_keys = None
+    if dropout_rng is not None and dropout_rate > 0.0:
+        drop_keys = jax.random.split(dropout_rng, max(len(sites), 1))
+    for i, site in enumerate(sites):
+        dk = site.flax_path + ("down",)
+        uk = site.flax_path + ("up",)
+        if dk not in flat:
+            continue
+        assert site.kind in ("linear", "conv2d", "conv3d"), (
+            f"branch LoRA has no {site.kind} path; use apply_lora")
+        if drop_keys is not None:
+            flat[dk] = _masked_down(flat[dk], drop_keys[i], dropout_rate)
+        if scale != 1.0:
+            flat[uk] = flat[uk] * scale
+    return unflatten_dict(flat)
+
+
 def apply_lora(params: Dict, lora_params: Optional[Dict],
                sites: Sequence[LoraSite], version: str = "cloneofsimo",
                scale: float = 1.0, alpha_over_r: float = 1.0,
@@ -156,9 +194,7 @@ def apply_lora(params: Dict, lora_params: Optional[Dict],
             continue
         down, up = lora_flat[dk], lora_flat[uk]
         if drop_keys is not None:
-            keep = jax.random.bernoulli(drop_keys[i], 1.0 - dropout_rate,
-                                        down.shape)
-            down = down * keep / (1.0 - dropout_rate)
+            down = _masked_down(down, drop_keys[i], dropout_rate)
         if version == "cloneofsimo":
             delta = _delta_cloneofsimo(site, down, up) * scale
         else:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
+from .lora_layers import LoraDense
 
 
 class CrossAttention(nn.Module):
@@ -43,11 +44,11 @@ class CrossAttention(nn.Module):
         context = (hidden_states if encoder_hidden_states is None
                    else encoder_hidden_states)
 
-        q = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+        q = LoraDense(inner_dim, use_bias=False, dtype=self.dtype,
                      name="to_q")(hidden_states)
-        k = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+        k = LoraDense(inner_dim, use_bias=False, dtype=self.dtype,
                      name="to_k")(context)
-        v = nn.Dense(inner_dim, use_bias=False, dtype=self.dtype,
+        v = LoraDense(inner_dim, use_bias=False, dtype=self.dtype,
                      name="to_v")(context)
 
         b, sq = q.shape[0], q.shape[1]
@@ -64,7 +65,7 @@ class CrossAttention(nn.Module):
         out = checkpoint_name(out, "attn_out")
         out = out.reshape(b, sq, inner_dim)
 
-        out = nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        out = LoraDense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
         out = checkpoint_name(out, "dense_out")
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out
@@ -76,7 +77,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(
+        h = LoraDense(self.dim_out * 2, dtype=self.dtype, name="proj")(
             hidden_states)
         value, gate = jnp.split(h, 2, axis=-1)
         return value * nn.gelu(gate, approximate=False)
@@ -93,7 +94,7 @@ class FeedForward(nn.Module):
         inner_dim = self.dim * self.mult
         h = GEGLU(inner_dim, dtype=self.dtype, name="net_0")(hidden_states)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+        h = LoraDense(self.dim, dtype=self.dtype, name="net_2")(h)
         return checkpoint_name(h, "dense_out")
 
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+
+from .lora_layers import LoraDense
 import jax.numpy as jnp
 
 
@@ -62,11 +64,11 @@ class CLIPAttention(nn.Module):
         scale = head_dim ** -0.5
         b, s, _ = hidden_states.shape
 
-        q = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+        q = LoraDense(cfg.hidden_size, dtype=self.dtype,
                      name="q_proj")(hidden_states) * scale
-        k = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+        k = LoraDense(cfg.hidden_size, dtype=self.dtype,
                      name="k_proj")(hidden_states)
-        v = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+        v = LoraDense(cfg.hidden_size, dtype=self.dtype,
                      name="v_proj")(hidden_states)
 
         q = q.reshape(b, s, heads, head_dim)
@@ -79,7 +81,7 @@ class CLIPAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         out = out.astype(hidden_states.dtype).reshape(b, s, cfg.hidden_size)
-        return nn.Dense(cfg.hidden_size, dtype=self.dtype,
+        return LoraDense(cfg.hidden_size, dtype=self.dtype,
                         name="out_proj")(out)
 
 
@@ -100,9 +102,9 @@ class CLIPEncoderLayer(nn.Module):
         residual = hidden_states
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm2")(hidden_states)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
+        h = LoraDense(cfg.intermediate_size, dtype=self.dtype, name="fc1")(h)
         h = _act(cfg.hidden_act)(h)
-        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
+        h = LoraDense(cfg.hidden_size, dtype=self.dtype, name="fc2")(h)
         return residual + h
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+
+from .lora_layers import LoraDense
 import jax.numpy as jnp
 
 
@@ -41,9 +43,9 @@ class TimestepEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, sample):
-        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+        sample = LoraDense(self.time_embed_dim, dtype=self.dtype,
                           name="linear_1")(sample)
         sample = nn.silu(sample)
-        sample = nn.Dense(self.time_embed_dim, dtype=self.dtype,
+        sample = LoraDense(self.time_embed_dim, dtype=self.dtype,
                           name="linear_2")(sample)
         return sample

@@ -10,9 +10,10 @@ reference call site (reference inference.py:427).
 Weights load from the reference torch checkpoint (`best.ckpt`, generator.*
 keys) when a local path is provided -- the reference downloads it from HF at
 runtime (reference utils/lama.py:313-314), which a hermetic environment
-cannot; set LAMA_CKPT or pass ckpt_path.  The fixed watermark mask is a
-bottom-right box matching ModelScope's watermark position by default, or a
-user-supplied grayscale PNG.
+cannot; set LAMA_CKPT or pass ckpt_path.  The default fixed watermark mask
+reproduces the reference's shipped utils/mask.png geometry: a full-width
+horizontal band over rows 145-191 of the 256-row mask (measured from the
+png; see default_watermark_mask), or a user-supplied grayscale PNG.
 
 All convs are NHWC; BatchNorm runs in inference mode with loaded running
 stats.

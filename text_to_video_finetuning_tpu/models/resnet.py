@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+
+from .lora_layers import LoraConv, LoraDense
 import jax
 import jax.numpy as jnp
 
@@ -83,23 +85,23 @@ class ResnetBlock2D(nn.Module):
         residual = hidden_states
 
         h = self._norm_silu("norm1")(hidden_states)
-        h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        h = LoraConv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv1")(h)
         h = checkpoint_name(h, _CONV_TAG)
 
         if temb is not None:
-            temb_proj = nn.Dense(out_channels, dtype=self.dtype,
+            temb_proj = LoraDense(out_channels, dtype=self.dtype,
                                  name="time_emb_proj")(nn.silu(temb))
             h = h + temb_proj[:, None, None, :]
 
         h = self._norm_silu("norm2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        h = LoraConv(out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="conv2")(h)
         h = checkpoint_name(h, _CONV_TAG)
 
         if self.in_channels != out_channels:
-            residual = nn.Conv(out_channels, (1, 1), padding="VALID",
+            residual = LoraConv(out_channels, (1, 1), padding="VALID",
                                dtype=self.dtype, name="conv_shortcut")(residual)
 
         return (residual + h) / self.output_scale_factor
@@ -129,7 +131,7 @@ class TemporalConvLayer(nn.Module):
         def conv3d(x, out_ch, name, zero_init=False):
             kernel_init = (nn.initializers.zeros if zero_init
                            else nn.initializers.lecun_normal())
-            y = nn.Conv(out_ch, (3, 1, 1),
+            y = LoraConv(out_ch, (3, 1, 1),
                         padding=((1, 1), (0, 0), (0, 0)),
                         kernel_init=kernel_init, dtype=self.dtype,
                         name=name)(x)
@@ -170,7 +172,7 @@ class Downsample2D(nn.Module):
             pad = ((0, 0), (0, 0))
         else:
             pad = ((self.padding, self.padding), (self.padding, self.padding))
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
+        return LoraConv(self.out_channels, (3, 3), strides=(2, 2), padding=pad,
                        dtype=self.dtype, name="conv")(hidden_states)
 
 
@@ -198,5 +200,5 @@ class Upsample2D(nn.Module):
             rows = (jnp.arange(oh) * h) // oh
             cols = (jnp.arange(ow) * w) // ow
             up = hidden_states[:, rows][:, :, cols]
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+        return LoraConv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                        dtype=self.dtype, name="conv")(up)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from .attention import BasicTransformerBlock
+from .lora_layers import LoraDense
 
 
 class Transformer2DModel(nn.Module):
@@ -48,7 +49,7 @@ class Transformer2DModel(nn.Module):
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
                          dtype=self.dtype, name="norm")(hidden_states)
         h = h.reshape(bf, height * width, channels)
-        h = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(h)
+        h = LoraDense(inner_dim, dtype=self.dtype, name="proj_in")(h)
         h = checkpoint_name(h, "dense_out")
 
         for i in range(self.num_layers):
@@ -62,7 +63,7 @@ class Transformer2DModel(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(h, encoder_hidden_states, deterministic=deterministic)
 
-        h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
+        h = LoraDense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
         h = checkpoint_name(h, "dense_out")
         h = h.reshape(bf, height, width, self.in_channels)
         return h + residual
@@ -99,7 +100,7 @@ class TransformerTemporalModel(nn.Module):
         # (B, F, H, W, C) -> (B*H*W, F, C)
         h = h.transpose(0, 2, 3, 1, 4).reshape(batch * height * width,
                                                num_frames, channels)
-        h = nn.Dense(inner_dim, dtype=self.dtype, name="proj_in")(h)
+        h = LoraDense(inner_dim, dtype=self.dtype, name="proj_in")(h)
         h = checkpoint_name(h, "dense_out")
 
         for i in range(self.num_layers):
@@ -113,7 +114,7 @@ class TransformerTemporalModel(nn.Module):
                 name=f"transformer_blocks_{i}",
             )(h, encoder_hidden_states, deterministic=deterministic)
 
-        h = nn.Dense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
+        h = LoraDense(self.in_channels, dtype=self.dtype, name="proj_out")(h)
         h = checkpoint_name(h, "dense_out")
         h = h.reshape(batch, height, width, num_frames, self.in_channels)
         h = h.transpose(0, 3, 1, 2, 4).reshape(bf, height, width,

@@ -19,6 +19,8 @@ import re
 from typing import Tuple
 
 import flax.linen as nn
+
+from .lora_layers import LoraConv
 import jax.numpy as jnp
 
 from .embeddings import TimestepEmbedding, get_timestep_embedding
@@ -108,7 +110,7 @@ class UNet3DConditionModel(nn.Module):
         cfg = self.config
         time_embed_dim = cfg.block_out_channels[0] * 4
 
-        self.conv_in = nn.Conv(cfg.block_out_channels[0], (3, 3),
+        self.conv_in = LoraConv(cfg.block_out_channels[0], (3, 3),
                                padding=((1, 1), (1, 1)), dtype=self.dtype,
                                name="conv_in")
         self.time_embedding = TimestepEmbedding(time_embed_dim,
@@ -223,7 +225,7 @@ class UNet3DConditionModel(nn.Module):
                                           epsilon=cfg.norm_eps,
                                           dtype=self.dtype,
                                           name="conv_norm_out")
-        self.conv_out = nn.Conv(cfg.out_channels, (3, 3),
+        self.conv_out = LoraConv(cfg.out_channels, (3, 3),
                                 padding=((1, 1), (1, 1)), dtype=self.dtype,
                                 name="conv_out")
 

@@ -305,7 +305,13 @@ class UNetMidBlock3DCrossAttn(nn.Module):
     def __call__(self, hidden_states, temb=None, encoder_hidden_states=None,
                  num_frames: int = 1, deterministic: bool = True):
         hidden_states = self.resnets[0](hidden_states, temb, deterministic)
-        if num_frames > 1:
+        # Reference fidelity: the NON-checkpointed mid path runs the leading
+        # temp_convs[0] UNCONDITIONALLY (reference models/unet_3d_blocks.py:
+        # 387 has no num_frames>1 guard), while the checkpointed path skips
+        # it at f=1 via is_video (reference models/unet_3d_blocks.py:56-70).
+        # Both behaviors are reproduced, keyed on gradient_checkpointing
+        # (PARITY.md "f=1 mid-block temp_convs[0]").
+        if num_frames > 1 or not self.gradient_checkpointing:
             hidden_states = self.temp_convs[0](hidden_states, num_frames,
                                                deterministic)
         # NOTE: mid block runs attn -> temp_attn BEFORE resnet -> temp_conv

@@ -415,6 +415,16 @@ def main(**kwargs):
     use_bucketing = bool((cfg.train_data or {}).get("use_bucketing")) or any(
         bool((ds.get("train_data") or {}).get("use_bucketing"))
         for ds in (cfg.extra_train_data or []))
+    if use_bucketing and jax.process_count() > 1:
+        # shape-grouped batching is a host-local decision; on multi-host
+        # meshes every host must emit the same batch sequence, so fall back
+        # to plain batching (datasets still resize to bucket shapes -- a
+        # single-aspect source stays stackable; mixed aspects need
+        # fixed-size train_data on multi-host)
+        logger.warning(
+            "use_bucketing: shape-grouped batch ordering is single-host "
+            "only; disabling bucket batching for this multi-host run")
+        use_bucketing = False
     train_dataloader = DataLoader(train_dataset,
                                   batch_size=global_batch_size,
                                   shuffle=cfg.shuffle,
@@ -435,6 +445,7 @@ def main(**kwargs):
         scheduler=noise_scheduler,
         unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
         lora_version=cfg.lora_version,
+        lora_branch=cfg.lora_branch,
         lora_unet_dropout=cfg.lora_unet_dropout,
         lora_text_dropout=cfg.lora_text_dropout,
         cache_latents=cfg.cache_latents,
@@ -478,7 +489,10 @@ def main(**kwargs):
         jit_step = jax.jit(train_step, donate_argnums=(0,))
 
         # epochs sized in MICRO-batches: an optimizer update may span epoch
-        # boundaries when len(loader) < gradient_accumulation_steps
+        # boundaries when len(loader) < gradient_accumulation_steps.
+        # len(loader) is an UPPER BOUND under bucket batching (each bucket
+        # drops its partial remainder), so this count is a log-line
+        # estimate only -- the loop below runs until max_train_steps
         total_micro = cfg.max_train_steps * cfg.gradient_accumulation_steps
         num_train_epochs = math.ceil(total_micro
                                      / max(len(train_dataloader), 1))
@@ -540,8 +554,15 @@ def main(**kwargs):
                 "text_sites": text_sites,
             }
 
-        for epoch in range(num_train_epochs):
+        # loop EPOCHS until max_train_steps is reached, not a precomputed
+        # epoch count: bucket batching can legitimately yield fewer batches
+        # than len(loader) (per-bucket drop_last), and a fixed range() would
+        # end the run silently short of max_train_steps
+        epoch = 0
+        while global_step < cfg.max_train_steps:
+            epoch_batches = 0
             for step, batch in enumerate(train_dataloader):
+                epoch_batches += 1
                 if (cfg.resume_from_checkpoint and epoch == 0
                         and cfg.resume_step and step < cfg.resume_step):
                     continue
@@ -664,8 +685,13 @@ def main(**kwargs):
 
                 if global_step >= cfg.max_train_steps:
                     break
-            if global_step >= cfg.max_train_steps:
-                break
+            epoch += 1
+            if epoch_batches == 0:
+                raise ValueError(
+                    "the train dataloader yielded no batches this epoch "
+                    "(dataset smaller than the global batch size, or every "
+                    "bucket below batch size); reduce train_batch_size or "
+                    "enable extend_dataset")
 
         if is_main:
             params_now, lora_now = current_params()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
-from ..lora.overlay import apply_lora
+from ..lora.overlay import apply_lora, prepare_branch_collection
 from ..lora.sites import LoraSite
 from ..schedulers.ddpm import DDPMScheduler
 from ..utils.pytree import merge
@@ -75,30 +75,55 @@ class TrainStepConfig:
     # text path IS trainable the second (frame-1, trainable-text) pass is
     # load-bearing and always runs.
     two_pass: bool = True
+    # Run cloneofsimo LoRA in the reference's BRANCH form
+    # (base(x) + up(down(x)), reference utils/lora.py:57-62) through the
+    # "lora" variable collection (models/lora_layers.py) instead of folding
+    # merged weights: keeps base kernels non-differentiated, so the
+    # backward never materializes full dW weight-grad convolutions for
+    # LoRA'd convs -- a large HBM-byte/FLOP win (benchmarks/RESULTS.md).
+    # stable_lora always uses the merged overlay (loralib conv semantics).
+    lora_branch: bool = True
 
 
 def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
                       train: bool):
-    """Merge trainable/frozen subtrees and fold LoRA overlays in."""
+    """Merge trainable/frozen subtrees and prepare LoRA: either the branch
+    collections (cloneofsimo + lora_branch, models/lora_layers.py) or
+    merged-weight overlays.  Returns (unet_params, text_params,
+    unet_lora_col, text_lora_col) with cols None when not in branch mode."""
+    branch = cfg.lora_branch and cfg.lora_version == "cloneofsimo"
     unet_params = merge(frozen.get("unet", {}), trainable.get("unet", {}))
+    unet_col = text_col = None
     if "unet_lora" in trainable:
         drop_rng = None
         if train and cfg.lora_unet_dropout > 0:
             rng, drop_rng = jax.random.split(rng)
-        unet_params = apply_lora(
-            unet_params, trainable["unet_lora"], cfg.unet_sites,
-            version=cfg.lora_version, scale=cfg.lora_scale,
-            dropout_rng=drop_rng, dropout_rate=cfg.lora_unet_dropout)
+        if branch:
+            unet_col = prepare_branch_collection(
+                trainable["unet_lora"], cfg.unet_sites,
+                scale=cfg.lora_scale, dropout_rng=drop_rng,
+                dropout_rate=cfg.lora_unet_dropout)
+        else:
+            unet_params = apply_lora(
+                unet_params, trainable["unet_lora"], cfg.unet_sites,
+                version=cfg.lora_version, scale=cfg.lora_scale,
+                dropout_rng=drop_rng, dropout_rate=cfg.lora_unet_dropout)
     text_params = merge(frozen.get("text", {}), trainable.get("text", {}))
     if "text_lora" in trainable:
         drop_rng = None
         if train and cfg.lora_text_dropout > 0:
             rng, drop_rng = jax.random.split(rng)
-        text_params = apply_lora(
-            text_params, trainable["text_lora"], cfg.text_sites,
-            version=cfg.lora_version, scale=cfg.lora_scale,
-            dropout_rng=drop_rng, dropout_rate=cfg.lora_text_dropout)
-    return unet_params, text_params
+        if branch:
+            text_col = prepare_branch_collection(
+                trainable["text_lora"], cfg.text_sites,
+                scale=cfg.lora_scale, dropout_rng=drop_rng,
+                dropout_rate=cfg.lora_text_dropout)
+        else:
+            text_params = apply_lora(
+                text_params, trainable["text_lora"], cfg.text_sites,
+                version=cfg.lora_version, scale=cfg.lora_scale,
+                dropout_rng=drop_rng, dropout_rate=cfg.lora_text_dropout)
+    return unet_params, text_params, unet_col, text_col
 
 
 def sample_noise(rng, latents, noise_strength: float,
@@ -127,16 +152,25 @@ def tensor_to_vae_latent(cfg: TrainStepConfig, vae_params, pixel_values,
     return latents * cfg.scaling_factor
 
 
-def make_train_step(cfg: TrainStepConfig, optimizer):
-    """Build the pure train_step(state, frozen, vae_params, batch)."""
+def make_loss_fn(cfg: TrainStepConfig):
+    """Build loss_fn(trainable, frozen, vae_params, batch, rng) ->
+    (loss, aux).  Exposed separately from make_train_step so tests can
+    differentiate individual loss terms (e.g. assert the pass-0 text
+    detach, reference train.py:814-829)."""
 
     use_offset = cfg.use_offset_noise and not cfg.rescale_schedule
 
     def loss_fn(trainable, frozen, vae_params, batch, rng):
         rng_lora, rng_noise, rng_t, rng_vae, rng_drop = jax.random.split(
             rng, 5)
-        unet_params, text_params = _effective_params(
+        unet_params, text_params, unet_col, text_col = _effective_params(
             cfg, trainable, frozen, rng_lora, train=not cfg.eval_train)
+        unet_vars = {"params": unet_params}
+        if unet_col is not None:
+            unet_vars["lora"] = unet_col
+        text_vars = {"params": text_params}
+        if text_col is not None:
+            text_vars["lora"] = text_col
 
         if cfg.cache_latents:
             latents = batch["pixel_values"]       # already latents
@@ -155,15 +189,14 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         token_ids = batch["prompt_ids"]
         if token_ids.ndim > 2:
             token_ids = token_ids[:, 0]
-        hidden_states = cfg.text_encoder.apply({"params": text_params},
-                                               token_ids)
+        hidden_states = cfg.text_encoder.apply(text_vars, token_ids)
         target = cfg.scheduler.training_target(latents, noise, timesteps)
 
         text_trainable = ("text" in trainable) or ("text_lora" in trainable)
 
         def unet_fwd(latents_in, target_in, hs, key):
             pred = cfg.unet.apply(
-                {"params": unet_params}, latents_in, timesteps, hs,
+                unet_vars, latents_in, timesteps, hs,
                 deterministic=cfg.eval_train, rngs={"dropout": key})
             return jnp.mean(jnp.square(pred.astype(jnp.float32)
                                        - target_in.astype(jnp.float32)))
@@ -194,6 +227,13 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         aux = {"loss0": raw_loss0,
                "loss1": losses[1] if len(losses) > 1 else jnp.zeros(())}
         return loss, aux
+
+    return loss_fn
+
+
+def make_train_step(cfg: TrainStepConfig, optimizer):
+    """Build the pure train_step(state, frozen, vae_params, batch)."""
+    loss_fn = make_loss_fn(cfg)
 
     def train_step(state: TrainState, frozen, vae_params, batch):
         rng, step_rng = jax.random.split(state.rng)

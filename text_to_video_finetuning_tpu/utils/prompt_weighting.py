@@ -54,14 +54,19 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
                 base = 1.1 if ch == "(" else 0.9
                 # find matching close to look at the suffix afterwards
                 end, matched = _walk_span(s, pos + 1, inner_close)
+                if not matched:
+                    # unmatched opener: compel treats a stray '('/'[' as
+                    # literal text -- emit the remainder at the ENCLOSING
+                    # weight, not the span's up/down weight
+                    walk_inner(s[pos + 1:end], weight)
+                    pos = end
+                    plain_start = pos
+                    continue
                 suffix_mult, consumed = _parse_suffix(s, end)
                 inner_weight = (weight * suffix_mult
                                 if suffix_mult is not None
                                 else weight * base)
-                # unmatched opener: the span runs to end-of-string and
-                # there is no closer char to exclude from the slice
-                inner_end = end - 1 if matched else end
-                walk_inner(s[pos + 1:inner_end], inner_weight)
+                walk_inner(s[pos + 1:end - 1], inner_weight)
                 pos = end + consumed
                 plain_start = pos
                 continue

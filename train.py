@@ -15,4 +15,9 @@ if __name__ == "__main__":
                         default="./configs/v2/train_config.yaml")
     args = parser.parse_args()
     cfg = load_train_config(args.config)
+    # warm-start: reuse compiled executables across runs (a cold full-model
+    # TPU compile is ~15 min; warm is seconds)
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     train_main(config=cfg)
