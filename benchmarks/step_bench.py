@@ -153,6 +153,59 @@ def main():
                                     remat_policy="conv_outs", frames=8,
                                     latent_hw=(40, 72),
                                     fused_groupnorm=True)),
+        # --- 576x320 TRAINING sweep (reference README's suggested
+        # ZeroScope finetune geometry, README.md:160-170 region).  2880
+        # spatial tokens/frame is the shape where the Pallas flash kernel
+        # measured ~4x over XLA in the microbench; the backend A/B below
+        # shows whether that survives in the full training step.
+        ("hires16-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72),
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("hires16-convattn-skiplow3",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow3")),
+        ("hires16-convattn-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow")),
+        ("hires16-convouts-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_outs+skiplow")),
+        ("hires16-convouts",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_outs")),
+        ("hires16-xla",
+         dict(grad_ckpt=True, backend="xla", frames=16,
+              latent_hw=(40, 72),
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("hires16-pallas",
+         dict(grad_ckpt=True, backend="pallas", frames=16,
+              latent_hw=(40, 72),
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("hires16-fusedgn",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72),
+              remat_policy="conv_attn_dense+skiplow3",
+              fused_groupnorm=True)),
+        ("hires16-noremat",
+         dict(grad_ckpt=False, backend="auto", frames=16,
+              latent_hw=(40, 72))),
+        ("hires8-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", frames=8,
+              latent_hw=(40, 72),
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("hires8-convattn-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=8,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow")),
+        ("hires8-convattn",
+         dict(grad_ckpt=True, backend="auto", frames=8,
+              latent_hw=(40, 72), remat_policy="conv_attn")),
+        ("hires8-convouts-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=8,
+              latent_hw=(40, 72), remat_policy="conv_outs+skiplow")),
+        ("hires8-xla",
+         dict(grad_ckpt=True, backend="xla", frames=8,
+              latent_hw=(40, 72), remat_policy="conv_outs")),
     ]
     if args.variants:
         variants = [v for v in variants if v[0] in args.variants]
