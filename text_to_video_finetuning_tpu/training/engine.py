@@ -228,16 +228,66 @@ def maybe_init_distributed():
 
     Must run before ANY backend-initializing jax call (including
     jax.process_count()), so the only gate is the env var; initialize()
-    itself raises cleanly if called twice."""
+    itself raises cleanly if called twice.
+
+    jax.distributed.initialize() only auto-detects Slurm / Open MPI / TPU
+    -metadata environments; on a plain multi-host launcher the process
+    topology arrives via JAX_NUM_PROCESSES / JAX_PROCESS_ID next to the
+    coordinator address, so pass them explicitly when present (exercised
+    for real by tests/test_multiprocess.py: 2 OS processes over the
+    coordination service on CPU)."""
     coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
              or os.environ.get("COORDINATOR_ADDRESS"))
     if not coord:
         return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc is not None else None,
+            process_id=int(pid) if pid is not None else None)
     except RuntimeError as e:
         # already initialized (e.g. caller did it), or backend already up
         logger.warning(f"jax.distributed.initialize skipped: {e}")
+    if jax.process_count() > 1:
+        # barrier over every device: fails fast if a host is missing, and
+        # establishes the all-device communicator clique while the hosts
+        # are still in lockstep -- the first *training-step* collective
+        # otherwise creates it after each host's independent compile, and
+        # compile-time skew between hosts can exceed the transport's
+        # context-handshake timeout (observed with Gloo's 30 s limit in
+        # tests/test_multiprocess.py)
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("t2v:post_init")
+
+
+def _aot_compile_and_barrier(jit_fn, *args):
+    """Multi-host: compile the train step ahead-of-time, then rendezvous at
+    a HOST-SIDE coordination-service barrier before the first execution.
+
+    Each host compiles the SPMD step independently; compile-time skew
+    between hosts can exceed the collective transport's context-handshake
+    timeout (observed: Gloo's 30 s limit in tests/test_multiprocess.py;
+    the same hazard exists for NCCL/DCN bring-up on real clusters).  The
+    explicit .lower().compile() pays the compile here and populates the
+    persistent compilation cache, so the subsequent jit call re-materializes
+    the executable in seconds and every host enters the first collective
+    in lockstep.  The barrier rides the gRPC coordination service (1 h
+    timeout), not a device collective -- a device barrier would itself be
+    a fresh executable with the same handshake hazard."""
+    jit_fn.lower(*args).compile()
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier("t2v:step_compiled", 3_600_000)
+            return
+    except Exception as e:                          # pragma: no cover
+        logger.warning(f"coordination-service barrier unavailable ({e}); "
+                       "falling back to a device barrier")
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("t2v:step_compiled")
 
 
 def _put_global_batch(arr, sharding):
@@ -578,6 +628,9 @@ def main(**kwargs):
                 # resumed run's global_step never passes small thresholds)
                 if cfg.profile_steps and run_steps == 1:
                     jax.profiler.start_trace(profile_dir)
+                if jax.process_count() > 1 and run_steps == 0:
+                    _aot_compile_and_barrier(jit_step, state, frozen,
+                                             vae_params_d, device_batch)
                 state, metrics = jit_step(state, frozen, vae_params_d,
                                           device_batch)
                 # window-mean train_loss, reference train.py:855-890: the
