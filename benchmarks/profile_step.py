@@ -39,7 +39,9 @@ def summarize(trace_dir: str, top: int = 30):
         device_pids = all_pids   # CPU runs: the host track IS the device
 
     by_op = defaultdict(float)
+    bytes_by_op = defaultdict(float)
     total = 0.0
+    total_bytes = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -49,12 +51,29 @@ def summarize(trace_dir: str, top: int = 30):
         base = re.sub(r"[.\d]+$", "", name)
         by_op[base] += dur
         total += dur
+        # XLA op events carry HBM traffic in args (bytes accessed / per
+        # operand breakdowns); sum the headline figure when present
+        args = e.get("args", {}) or {}
+        for k, v in args.items():
+            if "bytes" in k.lower() and "accessed" in k.lower():
+                try:
+                    b = float(str(v).replace(",", ""))
+                except ValueError:
+                    continue
+                bytes_by_op[base] += b
+                total_bytes += b
+                break
 
     print(f"== device op self-time from {os.path.basename(path)} "
           f"(total {total / 1e3:.1f} ms across traced steps) ==")
+    if total_bytes:
+        print(f"== HBM bytes accessed: {total_bytes / 1e9:.1f} GB total "
+              f"across traced steps ==")
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
+        gb = bytes_by_op.get(name, 0.0) / 1e9
+        suffix = f"  {gb:7.1f} GB" if total_bytes else ""
         print(f"{dur / 1e3:10.2f} ms  {100 * dur / max(total, 1):5.1f}%  "
-              f"{name}")
+              f"{name}{suffix}")
 
 
 def capture_and_summarize():

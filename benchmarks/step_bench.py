@@ -205,7 +205,7 @@ def main():
               latent_hw=(40, 72), remat_policy="conv_outs+skiplow")),
         ("hires8-xla",
          dict(grad_ckpt=True, backend="xla", frames=8,
-              latent_hw=(40, 72), remat_policy="conv_outs")),
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow")),
     ]
     if args.variants:
         variants = [v for v in variants if v[0] in args.variants]

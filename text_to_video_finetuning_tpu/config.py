@@ -83,7 +83,10 @@ class TrainConfig:
     # grad-ckpt saveable set: nothing | dots | conv_outs | conv_attn |
     # conv_attn_dense | conv_dots, optionally with a "+skiplow"/"+skiplowN"
     # suffix (no remat on the N smallest-activation deepest levels; the
-    # shipped configs and bench.py default to conv_attn_dense+skiplow3) --
+    # shipped configs and bench.py default to conv_attn_dense+skiplow3;
+    # at hires geometries (576x320+) prefer conv_attn+skiplow -- measured
+    # fastest there, and the skiplow3 sets exceed compile-service memory,
+    # benchmarks/RESULTS.md hires table) --
     # see models/unet3d_blocks.py REMAT_POLICIES and models/unet3d.py
     remat_policy: str = "nothing"
     fused_groupnorm: bool = False     # pallas one-pass GroupNorm+SiLU
