@@ -190,6 +190,13 @@ def main():
         ("hires16-noremat",
          dict(grad_ckpt=False, backend="auto", frames=16,
               latent_hw=(40, 72))),
+        ("hires16-nothing",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="nothing")),
+        ("hires16-singlepass",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow",
+              two_pass=False)),
         ("hires8-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", frames=8,
               latent_hw=(40, 72),
