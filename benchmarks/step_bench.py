@@ -15,16 +15,16 @@ import jax.numpy as jnp
 def build(grad_ckpt: bool, backend: str, frames: int = 16,
           remat_policy: str = "nothing", two_pass: bool = True,
           fused_groupnorm: bool = False, latent_hw=(32, 32),
-          lora_branch: bool = True, batch: int = 1):
+          lora_branch: bool = True, batch: int = 1,
+          text_lora: bool = False, split: bool = False):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
         CLIP_MS_TEXT_CONFIG)
     from text_to_video_finetuning_tpu.schedulers.ddpm import (
         DDPMScheduler, SchedulerConfig)
-    from text_to_video_finetuning_tpu.training import (TrainState,
-                                                       TrainStepConfig,
-                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training import (
+        TrainState, TrainStepConfig, make_split_train_step, make_train_step)
     from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
                                                              get_optimizer)
 
@@ -53,6 +53,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         rng))
 
     handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          use_text_lora=text_lora,
                           unet_replace_modules=["Transformer2DModel",
                                                 "TransformerTemporalModel",
                                                 "ResnetBlock2D"])
@@ -60,6 +61,13 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         True, "unet", ucfg, r=16, rng=rng)
 
     trainable = {"unet_lora": unet_lora}
+    text_sites = ()
+    if text_lora:
+        # the reference's hybrid config (lora_training_config.yaml): text
+        # LoRA makes pass 1 the cheap frame-1 trainable-text pass
+        t_lora, text_sites, _ = handler.add_lora_to_model(
+            True, "text_encoder", CLIP_MS_TEXT_CONFIG, r=16, rng=rng)
+        trainable["text_lora"] = t_lora
     # frozen params in bf16 (reference casts frozen models to half,
     # train.py:680-686): halves their HBM read traffic per UNet pass
     frozen = jax.tree_util.tree_map(
@@ -69,10 +77,10 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
     step_cfg = TrainStepConfig(
         unet=unet, text_encoder=clip, vae=None,
         scheduler=DDPMScheduler(SchedulerConfig()),
-        unet_sites=tuple(unet_sites), lora_version="cloneofsimo",
+        unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
+        lora_version="cloneofsimo",
         lora_branch=lora_branch,
         cache_latents=True, use_offset_noise=False, two_pass=two_pass)
-    train_step = make_train_step(step_cfg, optimizer)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        opt_state=optimizer.init(trainable), rng=rng)
     batch_tree = {
@@ -80,8 +88,12 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
                                   jnp.bfloat16),
         "prompt_ids": jnp.zeros((batch, 77), jnp.int32),
     }
-    return (jax.jit(train_step, donate_argnums=(0,)), state, frozen,
-            batch_tree)
+    if split:
+        jit_step = make_split_train_step(step_cfg, optimizer)  # pre-jitted
+    else:
+        jit_step = jax.jit(make_train_step(step_cfg, optimizer),
+                           donate_argnums=(0,))
+    return jit_step, state, frozen, batch_tree
 
 
 def run(jit_step, state, frozen, batch_tree, n=8):
@@ -197,6 +209,27 @@ def main():
          dict(grad_ckpt=True, backend="auto", frames=16,
               latent_hw=(40, 72), remat_policy="conv_attn+skiplow",
               two_pass=False)),
+        # split-compile two-pass (make_split_train_step): each loss pass is
+        # its own XLA program, halving the compile-helper's scheduling
+        # problem -- the fused 16f two-pass graph crashes it (rows above)
+        ("hires16-split-convattn-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow",
+              split=True)),
+        # reference hybrid config shape (text LoRA): pass 1 is the cheap
+        # frame-1 trainable-text pass
+        ("hires16-hybrid-split-convattn-skiplow",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="conv_attn+skiplow",
+              split=True, text_lora=True)),
+        ("hires16-hybrid-nothing",
+         dict(grad_ckpt=True, backend="auto", frames=16,
+              latent_hw=(40, 72), remat_policy="nothing",
+              text_lora=True)),
+        # split overhead control at the 256px headline geometry
+        ("split-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3", split=True)),
         ("hires8-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", frames=8,
               latent_hw=(40, 72),

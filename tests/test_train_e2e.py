@@ -430,6 +430,84 @@ def test_hybrid_text_encoder_two_pass_gradients(tiny_pipeline_dir):
         assert float(optax_global_norm(g1["text_lora"])) > 0.0
 
 
+def test_split_two_pass_step_matches_fused(tiny_pipeline_dir):
+    """make_split_train_step compiles the two loss passes as separate XLA
+    programs; grad linearity + shared rng splits make its trajectory match
+    the fused step.  Covers both second-pass shapes: the hybrid frame-1
+    trainable-text pass (reference train.py:807-820) and the full-clip
+    redundant pass with a frozen text path (train.py:813-829)."""
+    from text_to_video_finetuning_tpu.lora.handler import LoraHandler
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_split_train_step,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+    rng = jax.random.PRNGKey(7)
+    optimizer = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 10),
+                              max_grad_norm=1.0)
+    batch = {"pixel_values": jax.random.normal(rng, (1, 4, 4, 4, 4)),
+             "prompt_ids": jnp.ones((1, 77), jnp.int32)}
+
+    # scenario A: hybrid unet+text LoRA -> pass 1 is the frame-1
+    # trainable-text pass.  scenario B: frozen text, base params trainable,
+    # two_pass=True -> pass 1 is the full-clip redundant pass.
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+                          use_text_lora=True)
+    unet_lora, unet_sites, _ = handler.add_lora_to_model(
+        True, "unet", ucfg, r=4, rng=rng)
+    text_lora, text_sites, _ = handler.add_lora_to_model(
+        True, "text_encoder", ccfg, r=4, rng=rng)
+    bump = lambda t: jax.tree_util.tree_map(
+        lambda x: x + 0.02 if x.ndim >= 2 else x, t)
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    scenarios = [
+        ({"unet_lora": bump(unet_lora), "text_lora": bump(text_lora)},
+         {"unet": unet_params, "text": text_params},
+         dict(unet_sites=tuple(unet_sites), text_sites=tuple(text_sites))),
+        ({"unet": trainable_u},
+         {"unet": frozen_u, "text": text_params},
+         dict()),
+    ]
+    for trainable, frozen, extra in scenarios:
+        cfg = TrainStepConfig(
+            unet=unet, text_encoder=clip, vae=vae,
+            scheduler=DDPMScheduler(sched_cfg), cache_latents=True,
+            two_pass=True, **extra)
+        state0 = TrainState(step=jnp.zeros((), jnp.int32),
+                            trainable=trainable,
+                            opt_state=optimizer.init(trainable), rng=rng)
+        fused = jax.jit(make_train_step(cfg, optimizer))
+        split = make_split_train_step(cfg, optimizer)   # pre-jitted
+
+        sf, ss = state0, state0
+        for _ in range(2):
+            sf, mf = fused(sf, frozen, vae_params, batch)
+            ss, ms = split(ss, frozen, vae_params, batch)
+            for k in ("loss", "loss0", "loss1", "grad_norm"):
+                np.testing.assert_allclose(float(mf[k]), float(ms[k]),
+                                           rtol=1e-5, atol=1e-7, err_msg=k)
+        assert float(ms["loss1"]) > 0.0  # a second pass actually ran
+        for a, b in zip(jax.tree_util.tree_leaves(sf.trainable),
+                        jax.tree_util.tree_leaves(ss.trainable)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
 def optax_global_norm(tree):
     import optax
     return optax.global_norm(tree)

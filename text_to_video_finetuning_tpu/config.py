@@ -97,6 +97,12 @@ class TrainConfig:
     # False skips the reference's redundant second UNet pass when the text
     # encoder is frozen (~2x faster LoRA steps, expectation-equal gradients)
     two_pass_loss: bool = True
+    # Compile the two loss passes as SEPARATE XLA programs (plus a small
+    # optimizer-update program) instead of one fused step: same numerics,
+    # roughly half the peak compile-time memory.  Use at geometries where
+    # the fused two-pass graph breaks the compile service (e.g. 16-frame
+    # 576x320 -- benchmarks/RESULTS.md); ignored when only one pass runs.
+    split_two_pass: bool = False
     eval_train: bool = False
     profile_steps: int = 0      # if >0, capture a jax profiler trace
     # unknown YAML keys land here (reference **kwargs semantics)

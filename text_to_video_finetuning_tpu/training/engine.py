@@ -42,7 +42,8 @@ from ..utils import train_state_io
 from ..utils.profiling import StepTimer, unet3d_flops_per_step
 from ..utils.pytree import merge, tree_size
 from .optim import get_lr_schedule, get_optimizer
-from .train_step import TrainState, TrainStepConfig, make_train_step
+from .train_step import (TrainState, TrainStepConfig,
+                         make_split_train_step, make_train_step)
 from .trainable import select_trainable
 
 logger = logging.getLogger("t2v_tpu")
@@ -536,7 +537,18 @@ def main(**kwargs):
             mesh, frame_axis=2 if cfg.cache_latents else 1)
         ids_sharding = batch_sharding(mesh)
 
-        jit_step = jax.jit(train_step, donate_argnums=(0,))
+        # split_two_pass: compile each loss pass as its own XLA program
+        # (same numerics -- grad linearity + shared rng splits; see
+        # make_split_train_step).  Only useful when a second pass actually
+        # runs; otherwise the fused step is one program anyway.
+        second_pass_runs = cfg.two_pass_loss or ("text" in trainable) or (
+            "text_lora" in trainable)
+        if cfg.split_two_pass and second_pass_runs:
+            logger.info("split_two_pass: compiling the two loss passes "
+                        "as separate XLA programs")
+            jit_step = make_split_train_step(step_cfg, optimizer)
+        else:
+            jit_step = jax.jit(train_step, donate_argnums=(0,))
 
         # epochs sized in MICRO-batches: an optimizer update may span epoch
         # boundaries when len(loader) < gradient_accumulation_steps.

@@ -152,11 +152,26 @@ def tensor_to_vae_latent(cfg: TrainStepConfig, vae_params, pixel_values,
     return latents * cfg.scaling_factor
 
 
-def make_loss_fn(cfg: TrainStepConfig):
+def make_loss_fn(cfg: TrainStepConfig, pass_sel: Optional[int] = None):
     """Build loss_fn(trainable, frozen, vae_params, batch, rng) ->
     (loss, aux).  Exposed separately from make_train_step so tests can
     differentiate individual loss terms (e.g. assert the pass-0 text
-    detach, reference train.py:814-829)."""
+    detach, reference train.py:814-829).
+
+    pass_sel selects which of the reference's two loss passes
+    (train.py:803-834) the built function computes:
+      None -- both passes in one function (the fused train step);
+      0    -- pass 0 only (full clip, detached text), including the x2
+              expectation-scaling when the redundant second pass is
+              disabled via two_pass=False;
+      1    -- pass 1 only (frame-1 trainable-text when the text path is
+              trainable, else the full second clip pass); evaluates to a
+              constant 0.0 when no second pass exists (single-frame
+              batches), so its gradient contribution is exactly zero.
+    All three draw the SAME rng splits, so pass_sel=0 plus pass_sel=1
+    reproduces the fused function's noise/timestep/dropout draws term by
+    term -- the basis of the split-compile step (make_split_train_step).
+    """
 
     use_offset = cfg.use_offset_noise and not cfg.rescale_schedule
 
@@ -205,27 +220,28 @@ def make_loss_fn(cfg: TrainStepConfig):
         # pass 0: full clip; detach text when multi-frame
         hs0 = (jax.lax.stop_gradient(hidden_states) if video_length > 1
                else hidden_states)
-        raw_loss0 = unet_fwd(noisy_latents, target, hs0, k0)
-        losses = [raw_loss0]
 
-        if video_length > 1:
+        raw_loss0 = loss0 = loss1 = jnp.zeros(())
+        if pass_sel in (None, 0):
+            raw_loss0 = unet_fwd(noisy_latents, target, hs0, k0)
+            loss0 = raw_loss0
+            if (video_length > 1 and not text_trainable
+                    and not cfg.two_pass):
+                # skipped redundant pass: x2 keeps the expected gradient
+                # equal to the reference's summed two-pass loss
+                loss0 = loss0 * 2.0
+        if pass_sel in (None, 1) and video_length > 1:
             # pass 1: reference runs a second pass; frame-1-only when the
             # text path is trainable (reference train.py:807-820)
             if text_trainable:
                 nl = noisy_latents[:, :, 1:2]
                 tg = target[:, :, 1:2]
-                losses.append(unet_fwd(nl, tg, hidden_states, k1))
+                loss1 = unet_fwd(nl, tg, hidden_states, k1)
             elif cfg.two_pass:
-                losses.append(unet_fwd(noisy_latents, target,
-                                       hidden_states, k1))
-            else:
-                # skipped redundant pass: x2 keeps the expected gradient
-                # equal to the reference's summed two-pass loss
-                losses[0] = losses[0] * 2.0
+                loss1 = unet_fwd(noisy_latents, target, hidden_states, k1)
 
-        loss = sum(losses)
-        aux = {"loss0": raw_loss0,
-               "loss1": losses[1] if len(losses) > 1 else jnp.zeros(())}
+        loss = loss0 + loss1
+        aux = {"loss0": raw_loss0, "loss1": loss1}
         return loss, aux
 
     return loss_fn
@@ -246,5 +262,67 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
                    "grad_norm": optax.global_norm(grads)}
         return TrainState(step=state.step + 1, trainable=new_trainable,
                           opt_state=new_opt_state, rng=rng), metrics
+
+    return train_step
+
+
+def make_split_train_step(cfg: TrainStepConfig, optimizer):
+    """Split-compile variant of make_train_step: the two loss passes
+    (reference train.py:803-834) are compiled as SEPARATE XLA programs,
+    plus a third small program for the optimizer update.
+
+    grad(loss0 + loss1) == grad(loss0) + grad(loss1), and both pass
+    functions draw the same rng splits as the fused step (make_loss_fn
+    pass_sel docstring), so the parameter trajectory matches the fused
+    step to float tolerance.  The point is COMPILER capacity, not speed:
+    each program holds one UNet fwd+bwd instead of two, roughly halving
+    the peak scheduling problem.  At 16-frame 576x320 the fused two-pass
+    graph crashes the remote TPU compile helper under every selective
+    remat policy while both split halves compile fine
+    (benchmarks/RESULTS.md "16f hires").  Costs: three dispatches per
+    step, a second live gradient pytree (LoRA-sized in the shipped
+    configs), and re-running the cheap prologue (noise sampling, CLIP
+    forward, VAE encode when latents are not cached) in each half.
+
+    Returns train_step(state, frozen, vae_params, batch) with the same
+    signature/semantics as the fused one; the pieces are jitted here, so
+    do NOT wrap the result in jax.jit.
+    """
+    loss0_fn = make_loss_fn(cfg, pass_sel=0)
+    loss1_fn = make_loss_fn(cfg, pass_sel=1)
+
+    def _grads(loss_fn):
+        def f(trainable, frozen, vae_params, batch, step_rng):
+            return jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, vae_params, batch, step_rng)
+        return jax.jit(f)
+
+    jit_grads0 = _grads(loss0_fn)
+    jit_grads1 = _grads(loss1_fn)
+    jit_split = jax.jit(lambda rng: tuple(jax.random.split(rng)))
+
+    def apply_fn(state, grads0, grads1, new_rng, losses):
+        grads = jax.tree_util.tree_map(jnp.add, grads0, grads1)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        metrics = {**losses, "grad_norm": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, trainable=new_trainable,
+                          opt_state=new_opt_state, rng=new_rng), metrics
+
+    # donate only the state: its leaves (trainable + opt moments + step +
+    # rng) pair 1:1 with the new TrainState's outputs; donating the grad
+    # trees too would leave one unusable pytree per call (warning noise)
+    jit_apply = jax.jit(apply_fn, donate_argnums=(0,))
+
+    def train_step(state: TrainState, frozen, vae_params, batch):
+        rng, step_rng = jit_split(state.rng)
+        (l0, aux0), grads0 = jit_grads0(state.trainable, frozen,
+                                        vae_params, batch, step_rng)
+        (l1, aux1), grads1 = jit_grads1(state.trainable, frozen,
+                                        vae_params, batch, step_rng)
+        losses = {"loss": l0 + l1, "loss0": aux0["loss0"],
+                  "loss1": aux1["loss1"]}
+        return jit_apply(state, grads0, grads1, rng, losses)
 
     return train_step
