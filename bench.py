@@ -33,13 +33,23 @@ BASELINE_STEPS_PER_SEC = 1.0   # RTX 3090 + xformers proxy (BASELINE.md)
 def main():
     from step_bench import build
 
-    # conv_attn_dense+skiplow3: save tagged conv + attention + transformer
-    # dense outputs under remat, remat only the highest-resolution UNet
-    # level -- measured fastest policy on v5e (benchmarks/RESULTS.md
-    # remat-policy table)
-    jit_step, state, frozen, batch_tree = build(
-        grad_ckpt=True, backend="auto",
-        remat_policy="conv_attn_dense+skiplow3")
+    if "--hires" in sys.argv:
+        # 576x320x16f (latents 40x72), the reference README's suggested
+        # ZeroScope finetune geometry.  The fused two-pass graph at this
+        # size crashes the remote compile service, so the split-compile
+        # step is used (benchmarks/RESULTS.md hires table); conv_attn+
+        # skiplow is the measured-fastest policy that still compiles.
+        jit_step, state, frozen, batch_tree = build(
+            grad_ckpt=True, backend="auto", frames=16, latent_hw=(40, 72),
+            remat_policy="conv_attn+skiplow", split=True)
+    else:
+        # conv_attn_dense+skiplow3: save tagged conv + attention +
+        # transformer dense outputs under remat, remat only the
+        # highest-resolution UNet level -- measured fastest policy on v5e
+        # (benchmarks/RESULTS.md remat-policy table)
+        jit_step, state, frozen, batch_tree = build(
+            grad_ckpt=True, backend="auto",
+            remat_policy="conv_attn_dense+skiplow3")
 
     # warmup/compile (float() forces a host readback: block_until_ready on
     # the tunneled TPU can return before the queue drains)
@@ -54,12 +64,19 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt
+    hires = "--hires" in sys.argv
+    geometry = "576x320x16f" if hires else "256x256x16f"
+    # the 3090 proxy is derived at 256px; for --hires scale it by the
+    # latent-area ratio (40*72)/(32*32) = 2.8125 (conv-FLOP scaling only
+    # -- conservative: the 3090's attention cost grows quadratically)
+    baseline = BASELINE_STEPS_PER_SEC / 2.8125 if hires \
+        else BASELINE_STEPS_PER_SEC
     print(json.dumps({
-        "metric": "train steps/sec/chip (256x256x16f LoRA finetune, "
+        "metric": f"train steps/sec/chip ({geometry} LoRA finetune, "
                   "bf16, grad ckpt, cached latents)",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 4),
+        "vs_baseline": round(steps_per_sec / baseline, 4),
     }))
 
 
