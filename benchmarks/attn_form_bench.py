@@ -87,7 +87,6 @@ SHAPES = [
 
 
 def bench(fn, args, n=30):
-    out = jax.jit(fn, static_argnums=(6, 7)) if False else fn
     g = jax.jit(jax.grad(lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2),
                          argnums=(0, 2, 3, 4, 5)), static_argnums=(6, 7))
     f = jax.jit(fn, static_argnums=(6, 7))

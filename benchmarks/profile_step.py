@@ -51,18 +51,23 @@ def summarize(trace_dir: str, top: int = 30):
         base = re.sub(r"[.\d]+$", "", name)
         by_op[base] += dur
         total += dur
-        # XLA op events carry HBM traffic in args (bytes accessed / per
-        # operand breakdowns); sum the headline figure when present
+        # XLA op events carry HBM traffic in args: the headline
+        # "bytes accessed" plus per-operand breakdowns ("bytes accessed
+        # operandN{}" etc).  Sum ONLY the headline figure -- dict order is
+        # not guaranteed, so pick the exact key, falling back to the
+        # SHORTEST matching key (breakdown keys are strictly longer).
         args = e.get("args", {}) or {}
-        for k, v in args.items():
-            if "bytes" in k.lower() and "accessed" in k.lower():
-                try:
-                    b = float(str(v).replace(",", ""))
-                except ValueError:
-                    continue
+        cands = [k for k in args
+                 if "bytes" in k.lower() and "accessed" in k.lower()]
+        if cands:
+            key = ("bytes accessed" if "bytes accessed" in args
+                   else min(cands, key=len))
+            try:
+                b = float(str(args[key]).replace(",", ""))
                 bytes_by_op[base] += b
                 total_bytes += b
-                break
+            except ValueError:
+                pass
 
     print(f"== device op self-time from {os.path.basename(path)} "
           f"(total {total / 1e3:.1f} ms across traced steps) ==")

@@ -69,19 +69,30 @@ def test_two_process_engine_run(tiny_pipeline_dir, tiny_video, tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
         )
-        procs.append(subprocess.Popen(
+        # file-backed output, NOT PIPE: communicate() drains the workers
+        # sequentially, so a chatty second worker can fill its 64 KiB pipe
+        # and block inside a collective the first worker is waiting on --
+        # a deadlock that only resolves at the 1500 s timeout
+        out_f = open(tmp_path / f"worker{pid}.out", "w+")
+        err_f = open(tmp_path / f"worker{pid}.err", "w+")
+        procs.append((subprocess.Popen(
             [sys.executable, "-u", _WORKER, cfg_path],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True))
+            env=env, stdout=out_f, stderr=err_f, text=True),
+            out_f, err_f))
 
     outs = []
-    for p in procs:
+    for p, out_f, err_f in procs:
         try:
-            out, err = p.communicate(timeout=1500)
+            p.wait(timeout=1500)
         except subprocess.TimeoutExpired:
-            for q in procs:
+            for q, _, _ in procs:
                 q.kill()
             raise
+        out_f.seek(0)
+        err_f.seek(0)
+        out, err = out_f.read(), err_f.read()
+        out_f.close()
+        err_f.close()
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-4000:]}"
         outs.append((out, err))
 

@@ -44,14 +44,15 @@ def test_parse_explicit_zero_weight():
 
 
 def test_parse_unmatched_paren_keeps_text():
-    # unbalanced opener: compel treats a stray '(' as literal text -- the
-    # remainder keeps the ENCLOSING weight (1.0 at top level), it does NOT
-    # get the 1.1 span up-weight
+    # unbalanced opener: compel treats a stray '(' as literal text (the
+    # character is KEPT) -- the remainder keeps the ENCLOSING weight (1.0
+    # at top level), it does NOT get the 1.1 span up-weight
     assert parse_weighted_prompt("a photo (c. 1920") == [
-        ("a photo ", 1.0), ("c. 1920", 1.0)]
+        ("a photo ", 1.0), ("(", 1.0), ("c. 1920", 1.0)]
     # nested unmatched opener: the outer '(' (whose closer was consumed by
     # the inner span) is literal; the inner balanced span keeps its weight
-    assert parse_weighted_prompt("(big (oops)") == [("big ", 1.0),
+    assert parse_weighted_prompt("(big (oops)") == [("(", 1.0),
+                                                    ("big ", 1.0),
                                                     ("oops", 1.1)]
 
 

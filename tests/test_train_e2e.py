@@ -493,6 +493,10 @@ def test_split_two_pass_step_matches_fused(tiny_pipeline_dir):
                             opt_state=optimizer.init(trainable), rng=rng)
         fused = jax.jit(make_train_step(cfg, optimizer))
         split = make_split_train_step(cfg, optimizer)   # pre-jitted
+        # the multi-host compile-barrier hook must lower both gradient
+        # programs without executing a step (engine._aot_compile_and_barrier
+        # falls back to this when the step closure has no .lower())
+        split.aot_lower(state0, frozen, vae_params, batch)
 
         sf, ss = state0, state0
         for _ in range(2):
@@ -506,6 +510,21 @@ def test_split_two_pass_step_matches_fused(tiny_pipeline_dir):
                         jax.tree_util.tree_leaves(ss.trainable)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
+
+
+def test_aot_barrier_dispatches_to_aot_lower():
+    """The multi-host compile barrier must use a split step's aot_lower
+    hook instead of crashing on the closure's missing .lower()."""
+    from text_to_video_finetuning_tpu.training.engine import (
+        _aot_compile_and_barrier)
+    calls = []
+
+    def step(*a):                                   # pragma: no cover
+        raise AssertionError("barrier must not execute the step")
+
+    step.aot_lower = lambda *a: calls.append(a)
+    _aot_compile_and_barrier(step, "state", "frozen", "vae", "batch")
+    assert calls == [("state", "frozen", "vae", "batch")]
 
 
 def optax_global_norm(tree):

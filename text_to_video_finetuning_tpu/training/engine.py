@@ -273,11 +273,22 @@ def _aot_compile_and_barrier(jit_fn, *args):
     the same hazard exists for NCCL/DCN bring-up on real clusters).  The
     explicit .lower().compile() pays the compile here and populates the
     persistent compilation cache, so the subsequent jit call re-materializes
-    the executable in seconds and every host enters the first collective
-    in lockstep.  The barrier rides the gRPC coordination service (1 h
-    timeout), not a device collective -- a device barrier would itself be
-    a fresh executable with the same handshake hazard."""
-    jit_fn.lower(*args).compile()
+    the executable from disk in seconds (AOT compile does NOT seed jit's
+    in-memory executable cache -- the CLIs enable the persistent cache, and
+    without it the cost is one redundant compile, still bounded-skew) and
+    every host enters the first collective in lockstep.  The barrier rides
+    the gRPC coordination service (1 h timeout), not a device collective --
+    a device barrier would itself be a fresh executable with the same
+    handshake hazard.
+
+    Split-compile steps (make_split_train_step) are plain closures without
+    .lower(); they expose the same pre-compile via an `aot_lower` attribute
+    that lowers their big gradient sub-programs."""
+    aot = getattr(jit_fn, "aot_lower", None)
+    if aot is not None:
+        aot(*args)
+    else:
+        jit_fn.lower(*args).compile()
     try:
         from jax._src import distributed
         client = distributed.global_state.client

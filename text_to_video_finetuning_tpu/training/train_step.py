@@ -325,4 +325,19 @@ def make_split_train_step(cfg: TrainStepConfig, optimizer):
                   "loss1": aux1["loss1"]}
         return jit_apply(state, grads0, grads1, rng, losses)
 
+    def aot_lower(state, frozen, vae_params, batch):
+        """AOT-compile the two (large) gradient programs, for the
+        multi-host compile barrier (engine._aot_compile_and_barrier) --
+        the closure itself has no .lower().  A grads program's rng arg
+        matches state.rng in shape/dtype/sharding, so lowering reuses it.
+        The small optimizer-apply program is left to first-call compile:
+        it is elementwise over replicated arrays (grads arrive already
+        reduced), so it opens no fresh collective handshake and compiles
+        in seconds, not minutes."""
+        jit_grads0.lower(state.trainable, frozen, vae_params, batch,
+                         state.rng).compile()
+        jit_grads1.lower(state.trainable, frozen, vae_params, batch,
+                         state.rng).compile()
+
+    train_step.aot_lower = aot_lower
     return train_step

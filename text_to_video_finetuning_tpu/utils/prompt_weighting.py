@@ -56,8 +56,11 @@ def parse_weighted_prompt(prompt: str) -> List[Tuple[str, float]]:
                 end, matched = _walk_span(s, pos + 1, inner_close)
                 if not matched:
                     # unmatched opener: compel treats a stray '('/'[' as
-                    # literal text -- emit the remainder at the ENCLOSING
-                    # weight, not the span's up/down weight
+                    # literal text -- keep the character itself and emit the
+                    # remainder at the ENCLOSING weight, not the span's
+                    # up/down weight (CLIP's tokenizer splits punctuation,
+                    # so a standalone bracket fragment tokenizes the same)
+                    emit(ch, weight)
                     walk_inner(s[pos + 1:end], weight)
                     pos = end
                     plain_start = pos
