@@ -278,3 +278,126 @@ def test_lora_resume_via_lora_path(tmp_path, unet_setup, rng):
     for a, b in zip(jax.tree_util.tree_leaves(lora),
                     jax.tree_util.tree_leaves(lora2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# -- merging (lora/merge.py; the reference's "What you cannot do") -----------
+
+def _rand_like(tree, key, scale=0.05):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) * scale
+                  for k, l in zip(keys, leaves)])
+
+
+def test_merge_lora_trees_exact_cloneofsimo(unet_setup, rng):
+    """Weighted merge by rank concatenation == sequential weighted applies
+    (sum of deltas), for every site kind the UNet has."""
+    from text_to_video_finetuning_tpu.lora.merge import merge_lora_trees
+    cfg, _, params, _, _ = unet_setup
+    sites = select_sites(enumerate_unet_sites(cfg), ["UNet3DConditionModel"])
+    k1, k2 = jax.random.split(rng)
+    t1 = _rand_like(init_lora_params(k1, sites, 4), k1)
+    t2 = _rand_like(init_lora_params(k2, sites, 3), k2)
+
+    merged = merge_lora_trees([t1, t2], [0.7, 0.3])
+    eff_seq = apply_lora(apply_lora(params, t1, sites, scale=0.7),
+                         t2, sites, scale=0.3)
+    eff_m = apply_lora(params, merged, sites)
+    for a, b in zip(jax.tree_util.tree_leaves(eff_seq),
+                    jax.tree_util.tree_leaves(eff_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_merge_lora_trees_exact_stable(unet_setup, rng):
+    from text_to_video_finetuning_tpu.lora.merge import merge_lora_trees
+    cfg, _, params, _, _ = unet_setup
+    sites = select_sites(enumerate_unet_sites(cfg), ["Transformer2DModel"],
+                         ("linear", "conv2d", "conv3d"))
+    k1, k2 = jax.random.split(rng)
+    t1 = _rand_like(init_lora_params(k1, sites, 4, "stable_lora"), k1)
+    t2 = _rand_like(init_lora_params(k2, sites, 4, "stable_lora"), k2)
+
+    merged = merge_lora_trees([t1, t2], [0.6, 0.4])
+    # _delta_stable has no runtime scale knob; fold the weights into `up`
+    scale_up = lambda t, w: jax.tree_util.tree_map_with_path(
+        lambda p, x: x * w if p[-1].key == "up" else x, t)
+    eff_seq = apply_lora(
+        apply_lora(params, scale_up(t1, 0.6), sites, "stable_lora",
+                   alpha_over_r=0.5),
+        scale_up(t2, 0.4), sites, "stable_lora", alpha_over_r=0.5)
+    eff_m = apply_lora(params, merged, sites, "stable_lora",
+                       alpha_over_r=0.5)
+    for a, b in zip(jax.tree_util.tree_leaves(eff_seq),
+                    jax.tree_util.tree_leaves(eff_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_truncate_lora_rank_exact_when_rank_covers(unet_setup, rng):
+    """SVD compression back to r is exact when the merged delta's true rank
+    is <= r (here: two scaled copies of the same rank-4 LoRA)."""
+    from text_to_video_finetuning_tpu.lora.merge import (merge_lora_trees,
+                                                         truncate_lora_rank)
+    cfg, _, params, _, _ = unet_setup
+    sites = select_sites(enumerate_unet_sites(cfg), ["CrossAttention"])
+    t1 = _rand_like(init_lora_params(rng, sites, 4), rng)
+    merged = merge_lora_trees([t1, t1], [0.25, 0.75])     # rank 8, true 4
+    squeezed = truncate_lora_rank(merged, sites, 4)
+    flat = flatten_dict(squeezed)
+    assert all(flat[s.flax_path + ("down",)].shape[0] == 4 for s in sites)
+    eff_exact = apply_lora(params, t1, sites)             # weights sum to 1
+    eff_sq = apply_lora(params, squeezed, sites)
+    for a, b in zip(jax.tree_util.tree_leaves(eff_exact),
+                    jax.tree_util.tree_leaves(eff_sq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_merge_lora_cli_roundtrip(tmp_path, tiny_pipeline_dir, rng):
+    """t2v-merge-lora end-to-end: two .pt files in, merged .pt out, loadable
+    and equal to the in-memory merge."""
+    from text_to_video_finetuning_tpu.cli import merge_lora_main
+    from text_to_video_finetuning_tpu.lora.merge import merge_lora_trees
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+    cfg = ckpt.load_unet_config(os.path.join(str(tiny_pipeline_dir), "unet"))
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True)
+    sites = handler.unet_sites(cfg)
+    k1, k2 = jax.random.split(rng)
+    t1 = _rand_like(init_lora_params(k1, sites, 4), k1)
+    t2 = _rand_like(init_lora_params(k2, sites, 4), k2)
+    p1, p2 = str(tmp_path / "a_unet.pt"), str(tmp_path / "b_unet.pt")
+    formats.save_lora_pt(t1, sites, p1)
+    formats.save_lora_pt(t2, sites, p2)
+
+    out = str(tmp_path / "merged_unet.pt")
+    merge_lora_main([p1, p2, "-o", out, "-m", str(tiny_pipeline_dir),
+                     "-w", "0.5", "0.5"])
+    loaded = formats.load_lora_pt(out, sites)
+    expect = merge_lora_trees([t1, t2], [0.5, 0.5])
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_bake_lora_cli(tmp_path, tiny_pipeline_dir, rng):
+    """t2v-bake-lora: merged pipeline on disk == collapse_lora of the base
+    (reference utils/lora.py:781-816 semantics, standalone-model export)."""
+    from text_to_video_finetuning_tpu.cli import bake_lora_main
+    from text_to_video_finetuning_tpu.lora.overlay import collapse_lora
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+    cfg, base = ckpt.load_unet(os.path.join(str(tiny_pipeline_dir), "unet"))
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True)
+    sites = handler.unet_sites(cfg)
+    lora = _rand_like(init_lora_params(rng, sites, 4), rng)
+    lora_dir = tmp_path / "loras"
+    lora_dir.mkdir()
+    formats.save_lora_pt(lora, sites, str(lora_dir / "9_unet.pt"))
+
+    out = str(tmp_path / "baked")
+    bake_lora_main(["-m", str(tiny_pipeline_dir), "-lP", str(lora_dir),
+                    "-o", out, "-lS", "1.0"])
+    assert os.path.exists(os.path.join(out, "model_index.json"))
+    _, baked = ckpt.load_unet(os.path.join(out, "unet"))
+    expect = collapse_lora(base, lora, sites)
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(baked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -37,6 +37,124 @@ def train_main(argv=None):
     engine_main(config=cfg)
 
 
+def merge_lora_main(argv=None):
+    """Merge several LoRA files into one (`t2v-merge-lora`) -- the
+    capability the reference lists under "What you cannot do" (reference
+    README.md:141-145).  Exact via rank concatenation (lora/merge.py);
+    --rank compresses the result back down with per-site SVD."""
+    parser = argparse.ArgumentParser(
+        description="Merge LoRA files (weighted) into a single LoRA file")
+    parser.add_argument("inputs", nargs="+",
+                        help="LoRA files (.pt / .safetensors), same model "
+                             "and target set")
+    parser.add_argument("-o", "--output", type=str, required=True,
+                        help="merged LoRA path (.pt or .safetensors)")
+    parser.add_argument("-m", "--model", type=str, required=True,
+                        help="pipeline directory (site enumeration needs "
+                             "the model config)")
+    parser.add_argument("-k", "--kind", choices=["unet", "text_encoder"],
+                        default="unet")
+    parser.add_argument("-v", "--version",
+                        choices=["cloneofsimo", "stable_lora"],
+                        default="cloneofsimo")
+    parser.add_argument("-w", "--weights", type=float, nargs="+",
+                        default=None,
+                        help="per-input weights (default: all 1.0)")
+    parser.add_argument("-r", "--rank", type=int, default=0,
+                        help="SVD-compress the merged LoRA to this rank "
+                             "(0 = keep the exact concatenated rank; "
+                             "cloneofsimo only)")
+    parser.add_argument("--targets", type=str, nargs="+", default=None,
+                        help="target_replace_module set the inputs were "
+                             "trained with (default: the full-model set)")
+    args = parser.parse_args(argv)
+
+    from text_to_video_finetuning_tpu.lora.handler import LoraHandler
+    from text_to_video_finetuning_tpu.lora.merge import (merge_lora_trees,
+                                                         truncate_lora_rank)
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+
+    targets = args.targets or (["UNet3DConditionModel"]
+                               if args.kind == "unet"
+                               else ["CLIPEncoderLayer"])
+    handler = LoraHandler(version=args.version, use_unet_lora=True,
+                          use_text_lora=True,
+                          unet_replace_modules=targets,
+                          text_encoder_replace_modules=targets)
+    if args.kind == "unet":
+        cfg = ckpt.load_unet_config(f"{args.model}/unet")
+        sites = handler.unet_sites(cfg)
+    else:
+        cfg = ckpt.load_clip_config(f"{args.model}/text_encoder")
+        sites = handler.text_encoder_sites(cfg)
+
+    trees = [handler.load_lora_file(p, sites) for p in args.inputs]
+    merged = merge_lora_trees(trees, args.weights)
+    if args.rank:
+        if args.version != "cloneofsimo":
+            parser.error("--rank SVD compression is cloneofsimo-only")
+        merged = truncate_lora_rank(merged, sites, args.rank)
+
+    from text_to_video_finetuning_tpu.lora import formats
+    if args.output.endswith(".pt"):
+        formats.save_lora_pt(merged, sites, args.output)
+    elif args.output.endswith(".safetensors"):
+        if args.version == "cloneofsimo":
+            formats.save_safeloras(
+                {args.kind: (merged, sites, set(targets))}, args.output)
+        else:
+            from safetensors.numpy import save_file
+            save_file(formats.stable_lora_state_dict(merged, sites),
+                      args.output)
+    else:
+        parser.error("output must end in .pt or .safetensors")
+    print(f"Merged {len(args.inputs)} LoRAs -> {args.output}")
+
+
+def bake_lora_main(argv=None):
+    """Bake LoRA file(s) into a pipeline's base weights and save the merged
+    pipeline (`t2v-bake-lora`): ship a single standalone model instead of
+    base + sidecar.  Uses the exact conv-composition overlay
+    (lora/overlay.py collapse_lora, reference utils/lora.py:781-816)."""
+    parser = argparse.ArgumentParser(
+        description="Bake LoRA weights into a pipeline directory")
+    parser.add_argument("-m", "--model", type=str, required=True,
+                        help="input pipeline directory")
+    parser.add_argument("-lP", "--lora_path", type=str, required=True,
+                        help="LoRA file or directory (`_unet` / "
+                             "`_text_encoder` name match)")
+    parser.add_argument("-lR", "--lora_rank", type=int, default=64)
+    parser.add_argument("-lS", "--lora_scale", type=float, default=1.0)
+    parser.add_argument("-o", "--output", type=str, required=True,
+                        help="output pipeline directory")
+    parser.add_argument("--fp16", action="store_true",
+                        help="save merged weights in fp16")
+    args = parser.parse_args(argv)
+
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        initialize_pipeline)
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+
+    pipe = initialize_pipeline(args.model, use_fused_attention=False,
+                               lora_path=args.lora_path,
+                               lora_rank=args.lora_rank, half=False,
+                               lora_scale=args.lora_scale)
+    os.makedirs(args.output, exist_ok=True)
+    # save the (possibly textual-inversion-extended) tokenizer first, then
+    # let save_pipeline index that directory
+    tok_dir = os.path.join(args.output, "tokenizer")
+    pipe.tokenizer.save_pretrained(tok_dir)
+    ckpt.save_pipeline(
+        args.output,
+        unet=(pipe.unet.config, pipe.unet_params),
+        vae=(pipe.vae.config, pipe.vae_params),
+        text_encoder=(pipe.text_encoder.config, pipe.text_params),
+        scheduler_config=pipe.scheduler_config,
+        tokenizer_dir=tok_dir, fp16=args.fp16)
+    print(f"Baked {args.lora_path} (scale {args.lora_scale}) into "
+          f"{args.output}")
+
+
 def build_inference_parser():
     """Flag-for-flag with reference inference.py:336-435 (+ --lora_scale)."""
     parser = argparse.ArgumentParser()
