@@ -401,3 +401,52 @@ def test_bake_lora_cli(tmp_path, tiny_pipeline_dir, rng):
     for a, b in zip(jax.tree_util.tree_leaves(expect),
                     jax.tree_util.tree_leaves(baked)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_merge_lora_cli_safetensors_and_text_encoder(tmp_path,
+                                                     tiny_pipeline_dir, rng):
+    """The two CLI branches the .pt roundtrip misses: cloneofsimo merge to
+    .safetensors (save_safeloras layout, loadable via handler) and the
+    text_encoder site set."""
+    from text_to_video_finetuning_tpu.cli import merge_lora_main
+    from text_to_video_finetuning_tpu.lora.merge import merge_lora_trees
+    from text_to_video_finetuning_tpu.utils import checkpoint as ckpt
+
+    # unet merge -> .safetensors
+    cfg = ckpt.load_unet_config(os.path.join(str(tiny_pipeline_dir), "unet"))
+    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True)
+    sites = handler.unet_sites(cfg)
+    k1, k2 = jax.random.split(rng)
+    t1 = _rand_like(init_lora_params(k1, sites, 4), k1)
+    t2 = _rand_like(init_lora_params(k2, sites, 4), k2)
+    p1, p2 = str(tmp_path / "a_unet.pt"), str(tmp_path / "b_unet.pt")
+    formats.save_lora_pt(t1, sites, p1)
+    formats.save_lora_pt(t2, sites, p2)
+    out = str(tmp_path / "merged_unet.safetensors")
+    merge_lora_main([p1, p2, "-o", out, "-m", str(tiny_pipeline_dir)])
+    loaded = handler.load_lora_file(out, sites)
+    expect = merge_lora_trees([t1, t2])
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(loaded)):
+        # safeloras stores fp16 (formats.py:94-95, reference layout)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+    # text_encoder merge -> .pt (site enumeration goes through the CLIP
+    # config / CLIPEncoderLayer default target path in the CLI)
+    clip_cfg = ckpt.load_clip_config(
+        os.path.join(str(tiny_pipeline_dir), "text_encoder"))
+    te_handler = LoraHandler(version="cloneofsimo", use_text_lora=True,
+                             text_encoder_replace_modules=["CLIPEncoderLayer"])
+    te_sites = te_handler.text_encoder_sites(clip_cfg)
+    u1 = _rand_like(init_lora_params(k1, te_sites, 4), k2)
+    q1 = str(tmp_path / "a_text_encoder.pt")
+    formats.save_lora_pt(u1, te_sites, q1)
+    out2 = str(tmp_path / "m_text_encoder.pt")
+    merge_lora_main([q1, q1, "-o", out2, "-m", str(tiny_pipeline_dir),
+                     "-k", "text_encoder", "-w", "0.5", "0.5"])
+    expect2 = merge_lora_trees([u1, u1], [0.5, 0.5])        # rank 8
+    loaded2 = formats.load_lora_pt(out2, te_sites)
+    for a, b in zip(jax.tree_util.tree_leaves(expect2),
+                    jax.tree_util.tree_leaves(loaded2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
