@@ -105,8 +105,66 @@ def capture_and_summarize():
     summarize(trace_dir)
 
 
+def capture_sampler(hires: bool = False):
+    """Trace ONE scan-sampler video (25 DPM-Solver++ steps, CFG) at the
+    full ms-1.7b geometry -- the inference counterpart of the train-step
+    roofline.  Divide the reported totals by 25 for per-denoise-step
+    figures."""
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from text_to_video_finetuning_tpu.models import (UNET3D_MS_1_7B_CONFIG,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.pipelines.text_to_video import (
+        _scan_denoise)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import SchedulerConfig
+    from text_to_video_finetuning_tpu.schedulers.dpmsolver import (
+        DPMSolverMultistepScheduler)
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
+    frames, lh, lw = (24, 40, 72) if hires else (16, 32, 32)
+    ucfg = UNET3D_MS_1_7B_CONFIG
+    unet = UNet3DConditionModel(config=ucfg, dtype=jnp.bfloat16,
+                                attention_backend="auto")
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 4, frames, lh, lw), jnp.bfloat16)
+    text = jnp.zeros((2, 77, ucfg.cross_attention_dim), jnp.bfloat16)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16),
+        jax.eval_shape(lambda r: unet.init(r, sample, jnp.array([1, 1]),
+                                           text)["params"], rng))
+    sched = DPMSolverMultistepScheduler(SchedulerConfig())
+    ts = sched.set_timesteps(25)
+    coeffs = sched.scan_coeffs()
+    latents = jnp.zeros((1, 4, frames, lh, lw), jnp.float32)
+    state = sched.init_state(latents.shape)
+
+    def scan_once():
+        return _scan_denoise(params, latents, state, text,
+                             jnp.float32(9.0), jnp.asarray(ts, jnp.int32),
+                             coeffs, unet=unet, prediction_type="epsilon",
+                             solver_order=2, cfg=True)
+
+    out = scan_once()
+    jax.block_until_ready(out)
+    trace_dir = "/tmp/t2v_sampler_trace"
+    jax.profiler.start_trace(trace_dir)
+    out = scan_once()
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    print(f"trace written to {trace_dir} "
+          f"(1 video = 25 denoise steps, {frames} frames, "
+          f"{'576x320' if hires else '256x256'})")
+    summarize(trace_dir)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if "--sampler" in sys.argv:
+        capture_sampler(hires="--hires" in sys.argv)
+    elif len(sys.argv) > 1 and not sys.argv[1].startswith("-"):
         summarize(sys.argv[1])
     else:
         capture_and_summarize()

@@ -744,3 +744,28 @@ def test_bucketing_bounded_compiles(tiny_pipeline_dir, tmp_path, monkeypatch):
     distinct = set(shapes)
     assert len(shapes) >= 4
     assert 1 < len(distinct) <= 2, distinct   # one shape per bucket
+
+
+def test_sample_noise_offset_semantics():
+    """reference train.py:349-358: offset noise adds strength * randn over
+    (b, c, f, 1, 1) -- constant across the spatial plane -- and is a no-op
+    when use_offset_noise is False."""
+    from text_to_video_finetuning_tpu.training.train_step import sample_noise
+    rng = jax.random.PRNGKey(3)
+    latents = jnp.zeros((2, 4, 3, 8, 8), jnp.float32)
+
+    plain = sample_noise(rng, latents, 0.1, use_offset_noise=False)
+    offset = sample_noise(rng, latents, 0.1, use_offset_noise=True)
+    # same rng => the base gaussian is shared; the difference IS the offset
+    diff = np.asarray(offset - plain)
+    assert not np.allclose(diff, 0.0)
+    # constant across (h, w) per (b, c, f)
+    np.testing.assert_allclose(
+        diff, np.broadcast_to(diff[..., :1, :1], diff.shape), atol=1e-6)
+    # scales linearly with noise_strength
+    offset2 = sample_noise(rng, latents, 0.2, use_offset_noise=True)
+    np.testing.assert_allclose(np.asarray(offset2 - plain), 2.0 * diff,
+                               atol=1e-5)
+    # statistics: base noise is ~N(0,1)
+    assert abs(float(jnp.mean(plain))) < 0.05
+    assert abs(float(jnp.std(plain)) - 1.0) < 0.05
