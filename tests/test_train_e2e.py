@@ -769,3 +769,35 @@ def test_sample_noise_offset_semantics():
     # statistics: base noise is ~N(0,1)
     assert abs(float(jnp.mean(plain))) < 0.05
     assert abs(float(jnp.std(plain)) - 1.0) < 0.05
+
+
+def test_extra_train_data_concatenates(tiny_pipeline_dir, tiny_video,
+                                       tmp_path, caplog):
+    """extra_train_data (reference train.py:664-676): additional dataset
+    specs are built and concatenated with the primary dataset; the combined
+    example count doubles when the same single_video source is added."""
+    import logging
+    from text_to_video_finetuning_tpu.training.engine import main
+    cfg = _base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        extra_train_data=[dict(
+            dataset_types=("single_video",),
+            train_data=dict(single_video_path=tiny_video,
+                            single_video_prompt="a second view",
+                            n_sample_frames=4, width=32, height=32, fps=8),
+        )])
+    with caplog.at_level(logging.INFO, logger="t2v_tpu"):
+        out_dir = main(**cfg)
+    assert os.path.exists(os.path.join(out_dir, "model_index.json"))
+    n_with_extra = None
+    for rec in caplog.records:
+        if "Num examples" in rec.message:
+            n_with_extra = int(rec.message.split("=")[-1])
+    assert n_with_extra is not None
+    # the same source alone yields half the examples
+    from text_to_video_finetuning_tpu.data.datasets import get_train_dataset
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    tok = load_primary_models(tiny_pipeline_dir)[1]
+    solo = get_train_dataset(cfg["dataset_types"], cfg["train_data"], tok)
+    assert n_with_extra == 2 * len(solo[0])
