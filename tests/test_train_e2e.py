@@ -801,3 +801,21 @@ def test_extra_train_data_concatenates(tiny_pipeline_dir, tiny_video,
     tok = load_primary_models(tiny_pipeline_dir)[1]
     solo = get_train_dataset(cfg["dataset_types"], cfg["train_data"], tok)
     assert n_with_extra == 2 * len(solo[0])
+
+
+def test_resume_step_skip_predicate():
+    """reference train.py:843: `resume_step` skips only the first epoch's
+    leading batches, and only when resume_from_checkpoint is set."""
+    from text_to_video_finetuning_tpu.config import TrainConfig
+    from text_to_video_finetuning_tpu.training.engine import (
+        should_skip_resume_step)
+    cfg = TrainConfig(pretrained_model_path="x", output_dir="y",
+                      resume_from_checkpoint="ckpt-dir", resume_step=3)
+    assert [should_skip_resume_step(cfg, 0, s) for s in range(5)] == \
+        [True, True, True, False, False]
+    # later epochs run in full
+    assert not any(should_skip_resume_step(cfg, 1, s) for s in range(5))
+    # no checkpoint => no skipping even with resume_step set
+    cfg2 = TrainConfig(pretrained_model_path="x", output_dir="y",
+                       resume_from_checkpoint=None, resume_step=3)
+    assert not any(should_skip_resume_step(cfg2, 0, s) for s in range(5))

@@ -95,6 +95,14 @@ def resolve_attention_backend(cfg: TrainConfig) -> str:
     return "xla"
 
 
+def should_skip_resume_step(cfg: "TrainConfig", epoch: int,
+                            step: int) -> bool:
+    """Reference train.py:843: when resuming, skip the first `resume_step`
+    batches of the FIRST epoch only (later epochs run in full)."""
+    return bool(cfg.resume_from_checkpoint and epoch == 0
+                and cfg.resume_step and step < cfg.resume_step)
+
+
 def should_sample(global_step, validation_steps, validation_data) -> bool:
     return ((global_step % validation_steps == 0 or global_step == 1)
             and validation_data.get("sample_preview", False))
@@ -636,8 +644,7 @@ def main(**kwargs):
             epoch_batches = 0
             for step, batch in enumerate(train_dataloader):
                 epoch_batches += 1
-                if (cfg.resume_from_checkpoint and epoch == 0
-                        and cfg.resume_step and step < cfg.resume_step):
+                if should_skip_resume_step(cfg, epoch, step):
                     continue
                 last_prompt = batch["text_prompt"][0]
                 device_batch = {
