@@ -155,6 +155,59 @@ def bake_lora_main(argv=None):
           f"{args.output}")
 
 
+def serve_main(argv=None):
+    """`t2v-serve`: resident pipeline + dynamic-batching HTTP server
+    (beyond the reference's one-shot CLI; see serving/server.py)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model", type=str, required=True,
+                        help="Path to model checkpoint directory")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("-o", "--output-dir", type=str,
+                        default="./serve_output")
+    parser.add_argument("--max-batch", type=int, default=4,
+                        help="coalesce up to N same-signature requests "
+                             "into one batched dispatch")
+    parser.add_argument("--batch-window-ms", type=float, default=50.0,
+                        help="how long to hold a request open for "
+                             "batch-mates before dispatching")
+    parser.add_argument("--request-timeout-s", type=float, default=3600.0)
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the startup compile of the default "
+                             "sampler signature")
+    parser.add_argument("-lP", "--lora_path", type=str, default="")
+    parser.add_argument("-lR", "--lora_rank", type=int, default=64)
+    parser.add_argument("-lS", "--lora_scale", type=float, default=1.0)
+    parser.add_argument("--no-fused-attention", action="store_true")
+    args = parser.parse_args(argv)
+
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
+
+    from text_to_video_finetuning_tpu.serving import T2VServer
+    server = T2VServer(
+        model=args.model, host=args.host, port=args.port,
+        output_dir=args.output_dir, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+        use_fused_attention=not args.no_fused_attention,
+        lora_path=args.lora_path, lora_rank=args.lora_rank,
+        lora_scale=args.lora_scale,
+        request_timeout_s=args.request_timeout_s)
+    if not args.no_warmup:
+        print("Warming up the sampler (first TPU compile is slow; the "
+              "persistent compile cache makes restarts fast)...")
+        req = server.warmup()
+        print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
+              f"{req.num_steps} steps.")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
 def build_inference_parser():
     """Flag-for-flag with reference inference.py:336-435 (+ --lora_scale)."""
     parser = argparse.ArgumentParser()

@@ -139,22 +139,19 @@ def prepare_input_latents(pipe: TextToVideoSDPipeline, batch_size: int,
     return latents
 
 
-def inference(model: str, prompt, negative_prompt=None, width: int = 256,
-              height: int = 256, num_frames: int = 24,
-              window_size: Optional[int] = None, vae_batch_size: int = 8,
-              num_steps: int = 50, guidance_scale: float = 15,
-              init_video: Optional[np.ndarray] = None,
-              init_weight: float = 0.5, use_fused_attention: bool = True,
-              lora_path: str = "", lora_rank: int = 64,
-              lora_scale: float = 1.0, loop: bool = False,
-              seed: Optional[int] = None) -> np.ndarray:
-    """reference inference.py:270-333. Returns (B, C, F, H, W) float."""
+def generate(pipe: TextToVideoSDPipeline, prompt, negative_prompt=None,
+             width: int = 256, height: int = 256, num_frames: int = 24,
+             window_size: Optional[int] = None, vae_batch_size: int = 8,
+             num_steps: int = 50, guidance_scale: float = 15,
+             init_video: Optional[np.ndarray] = None,
+             init_weight: float = 0.5, loop: bool = False,
+             seed: Optional[int] = None) -> np.ndarray:
+    """Generation body of reference inference.py:270-333, split from model
+    load so a warm pipeline can serve many requests (repeated calls at the
+    same geometry reuse the jit cache).  Returns (B, C, F, H, W) float."""
     seed = seed if seed is not None else 0
     rng = jax.random.PRNGKey(seed)
     window_size = window_size or num_frames
-
-    pipe = initialize_pipeline(model, use_fused_attention, lora_path,
-                               lora_rank, lora_scale=lora_scale)
 
     # compel-equivalent weighted prompt embeddings
     prompts = [prompt] if isinstance(prompt, str) else list(prompt)
@@ -183,3 +180,23 @@ def inference(model: str, prompt, negative_prompt=None, width: int = 256,
 
     videos = pipe.decode_latents(latents, batch_size=vae_batch_size)
     return np.asarray(videos)
+
+
+def inference(model: str, prompt, negative_prompt=None, width: int = 256,
+              height: int = 256, num_frames: int = 24,
+              window_size: Optional[int] = None, vae_batch_size: int = 8,
+              num_steps: int = 50, guidance_scale: float = 15,
+              init_video: Optional[np.ndarray] = None,
+              init_weight: float = 0.5, use_fused_attention: bool = True,
+              lora_path: str = "", lora_rank: int = 64,
+              lora_scale: float = 1.0, loop: bool = False,
+              seed: Optional[int] = None) -> np.ndarray:
+    """reference inference.py:270-333. Returns (B, C, F, H, W) float."""
+    pipe = initialize_pipeline(model, use_fused_attention, lora_path,
+                               lora_rank, lora_scale=lora_scale)
+    return generate(pipe, prompt, negative_prompt=negative_prompt,
+                    width=width, height=height, num_frames=num_frames,
+                    window_size=window_size, vae_batch_size=vae_batch_size,
+                    num_steps=num_steps, guidance_scale=guidance_scale,
+                    init_video=init_video, init_weight=init_weight,
+                    loop=loop, seed=seed)

@@ -1,0 +1,343 @@
+"""HTTP serving with dynamic batching over a warm pipeline.
+
+The reference repo stops at a one-shot CLI (reference inference.py:336-435:
+load model, sample, write mp4, exit); every invocation pays the model load
+and — on TPU — the XLA compile.  For production serving that is the wrong
+shape: the scan-form sampler (`pipelines/diffuse.py`) is one compiled
+program per (geometry, steps) signature, so a resident server that routes
+every request at a warm signature runs at the device's steady-state rate,
+and batching same-signature requests multiplies throughput nearly for free
+(the UNet dispatch is batch-parallel on the MXU).
+
+Design:
+- `BatchingWorker`: a single consumer thread that drains a queue of
+  pending requests, coalescing up to `max_batch` requests that share a
+  *batch key* (every static/compile-relevant parameter: geometry, steps,
+  guidance, CFG-ness) within a `batch_window_ms` gather window.  The
+  worker is model-agnostic — it calls an injected `run_batch(requests)`
+  — so batching semantics are unit-testable without jax.
+- `T2VServer`: loads the pipeline once (`initialize_pipeline`), wires the
+  worker to `pipelines.inference.generate`, and fronts it with a
+  stdlib ThreadingHTTPServer: POST /generate, GET /healthz, GET /stats.
+
+Determinism note: a request's `seed` is exactly reproducible when it runs
+alone.  When coalesced, the batch samples from the FIRST request's seed
+(each row still gets independent noise); callers that need bit-exact
+reproducibility should send `no_batch: true`.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class GenerationRequest:
+    """One sampling request.  Defaults mirror the reference CLI's
+    (reference inference.py:336-435, via cli.build_inference_parser)."""
+    prompt: str
+    negative_prompt: Optional[str] = None
+    width: int = 256
+    height: int = 256
+    num_frames: int = 16
+    window_size: Optional[int] = None
+    num_steps: int = 25
+    guidance_scale: float = 25.0
+    vae_batch_size: int = 8
+    seed: Optional[int] = None
+    fps: int = 12
+    loop: bool = False
+    no_batch: bool = False      # opt out of coalescing (exact seed repro)
+
+    def resolved_window(self) -> int:
+        return self.window_size or self.num_frames
+
+
+def request_batch_key(req: GenerationRequest):
+    """Everything that must be equal for two requests to share one
+    `generate` call.  Geometry/steps/window are compile signatures of the
+    scan sampler; guidance_scale and CFG-ness are per-call scalars shared
+    by the whole batch; loop changes the rotation schedule."""
+    return (req.width, req.height, req.num_frames, req.resolved_window(),
+            req.num_steps, float(req.guidance_scale),
+            req.negative_prompt or "", req.loop, req.vae_batch_size,
+            req.no_batch)
+
+
+@dataclass
+class _Pending:
+    request: GenerationRequest
+    done: threading.Event = field(default_factory=threading.Event)
+    video: Optional[np.ndarray] = None      # (C, F, H, W) in [-1, 1]
+    error: Optional[str] = None
+
+
+class BatchingWorker:
+    """Single-consumer dynamic batcher.
+
+    `run_batch(requests) -> list[np.ndarray]` receives 1..max_batch
+    requests with identical batch keys and returns one (C, F, H, W) video
+    per request, in order.  Requests whose key differs from the batch
+    being gathered stay queued for the next cycle (FIFO across cycles)."""
+
+    def __init__(self, run_batch: Callable[[List[GenerationRequest]],
+                                           List[np.ndarray]],
+                 max_batch: int = 4, batch_window_ms: float = 50.0):
+        self._run_batch = run_batch
+        self.max_batch = max(1, int(max_batch))
+        self.batch_window_s = max(0.0, batch_window_ms) / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._backlog: List[_Pending] = []      # key-mismatched, FIFO
+        self._lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "max_batch_seen": 0, "generate_seconds": 0.0}
+        self._stop = object()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="t2v-batching-worker")
+        self._thread.start()
+
+    def submit(self, request: GenerationRequest) -> _Pending:
+        pending = _Pending(request=request)
+        self._queue.put(pending)
+        return pending
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            return dict(self.stats)
+
+    def shutdown(self, timeout: float = 10.0):
+        self._queue.put(self._stop)
+        self._thread.join(timeout=timeout)
+
+    # -- internals ---------------------------------------------------------
+
+    def _next_pending(self, timeout: Optional[float]):
+        """Backlog first (FIFO fairness), then the live queue."""
+        if self._backlog:
+            return self._backlog.pop(0)
+        try:
+            return self._queue.get(timeout=timeout) if timeout is not None \
+                else self._queue.get()
+        except queue.Empty:
+            return None
+
+    def _gather(self, first: _Pending) -> List[_Pending]:
+        batch = [first]
+        key = request_batch_key(first.request)
+        if first.request.no_batch or self.max_batch == 1:
+            return batch
+        deadline = time.monotonic() + self.batch_window_s
+        skipped: List[_Pending] = []
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0 and self._queue.empty() and not self._backlog:
+                break
+            item = self._next_pending(timeout=max(0.0, remaining))
+            if item is None:
+                break
+            if item is self._stop:
+                # re-queue the sentinel so the main loop sees it next cycle
+                self._queue.put(self._stop)
+                break
+            if (not item.request.no_batch
+                    and request_batch_key(item.request) == key):
+                batch.append(item)
+            else:
+                skipped.append(item)
+        self._backlog = skipped + self._backlog
+        return batch
+
+    def _loop(self):
+        while True:
+            item = self._next_pending(timeout=None)
+            if item is self._stop:
+                return
+            batch = self._gather(item)
+            t0 = time.monotonic()
+            try:
+                videos = self._run_batch([p.request for p in batch])
+                if len(videos) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(videos)} videos for "
+                        f"{len(batch)} requests")
+                for pending, video in zip(batch, videos):
+                    pending.video = video
+            except Exception as exc:  # noqa: BLE001 — reported per request
+                with self._lock:
+                    self.stats["errors"] += len(batch)
+                for pending in batch:
+                    pending.error = f"{type(exc).__name__}: {exc}"
+            finally:
+                dt = time.monotonic() - t0
+                with self._lock:
+                    self.stats["requests"] += len(batch)
+                    self.stats["batches"] += 1
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], len(batch))
+                    self.stats["generate_seconds"] += dt
+                for pending in batch:
+                    pending.done.set()
+
+
+def _video_to_uint8(video: np.ndarray) -> np.ndarray:
+    """(C, F, H, W) in [-1, 1] -> (F, H, W, C) uint8 (cli.py postprocess)."""
+    frames = np.transpose(np.clip(video, -1, 1), (1, 2, 3, 0))
+    return ((frames + 1.0) * 127.5).astype(np.uint8)
+
+
+class T2VServer:
+    """Resident pipeline + batching worker + HTTP front end."""
+
+    def __init__(self, model: str, host: str = "127.0.0.1", port: int = 8000,
+                 output_dir: str = "./serve_output", max_batch: int = 4,
+                 batch_window_ms: float = 50.0, use_fused_attention=True,
+                 lora_path: str = "", lora_rank: int = 64,
+                 lora_scale: float = 1.0, request_timeout_s: float = 3600.0,
+                 pipe=None):
+        from ..pipelines.inference import generate, initialize_pipeline
+        self.model = model
+        self.output_dir = output_dir
+        self.request_timeout_s = request_timeout_s
+        os.makedirs(output_dir, exist_ok=True)
+        self.pipe = pipe if pipe is not None else initialize_pipeline(
+            model, use_fused_attention, lora_path, lora_rank,
+            lora_scale=lora_scale)
+        self._generate = generate
+        self.worker = BatchingWorker(self._run_batch, max_batch=max_batch,
+                                     batch_window_ms=batch_window_ms)
+        self.started_at = time.time()
+        self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.host, self.port = self.httpd.server_address[:2]
+
+    # -- generation --------------------------------------------------------
+
+    def _run_batch(self, requests: List[GenerationRequest]) -> List[np.ndarray]:
+        head = requests[0]
+        prompts = [r.prompt for r in requests]
+        negative = ([head.negative_prompt] * len(requests)
+                    if head.negative_prompt else None)
+        seed = head.seed if head.seed is not None else 0
+        videos = self._generate(
+            self.pipe, prompts, negative_prompt=negative, width=head.width,
+            height=head.height, num_frames=head.num_frames,
+            window_size=head.resolved_window(),
+            vae_batch_size=head.vae_batch_size, num_steps=head.num_steps,
+            guidance_scale=head.guidance_scale, loop=head.loop, seed=seed)
+        return [np.asarray(v) for v in videos]
+
+    def warmup(self, request: Optional[GenerationRequest] = None):
+        """Compile the sampler at the default signature before accepting
+        traffic (full-model compiles are minutes on TPU; see README)."""
+        req = request or GenerationRequest(prompt="warmup", num_frames=8,
+                                           window_size=8, num_steps=2)
+        pending = self.worker.submit(req)
+        pending.done.wait(timeout=self.request_timeout_s)
+        if pending.error:
+            raise RuntimeError(f"warmup failed: {pending.error}")
+        return req
+
+    # -- HTTP --------------------------------------------------------------
+
+    def serve_forever(self):
+        print(f"t2v-serve listening on http://{self.host}:{self.port} "
+              f"(model={self.model})")
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.worker.shutdown()
+
+    def _handle_generate(self, body: dict) -> dict:
+        known = {f for f in GenerationRequest.__dataclass_fields__}
+        unknown = set(body) - known - {"return_video"}
+        if unknown:
+            raise ValueError(f"unknown fields: {sorted(unknown)}")
+        if "prompt" not in body or not str(body["prompt"]).strip():
+            raise ValueError("'prompt' is required")
+        return_video = bool(body.pop("return_video", False))
+        # JSON clients send numbers loosely; coerce to the field types so
+        # e.g. width=256.0 doesn't poison downstream shape math
+        for f, typ in (("width", int), ("height", int), ("num_frames", int),
+                       ("window_size", int), ("num_steps", int),
+                       ("vae_batch_size", int), ("seed", int), ("fps", int),
+                       ("guidance_scale", float)):
+            if body.get(f) is not None:
+                body[f] = typ(body[f])
+        req = GenerationRequest(**body)
+        if req.num_frames % req.resolved_window() != 0:
+            raise ValueError("window_size must divide num_frames")
+        pending = self.worker.submit(req)
+        if not pending.done.wait(timeout=self.request_timeout_s):
+            raise TimeoutError("generation timed out")
+        if pending.error:
+            raise RuntimeError(pending.error)
+
+        frames = _video_to_uint8(pending.video)
+        name = f"{uuid.uuid4().hex[:12]}.mp4"
+        path = os.path.join(self.output_dir, name)
+        from ..data.video import export_to_video
+        export_to_video(frames, path, req.fps)
+        resp = {"path": os.path.abspath(path),
+                "num_frames": int(frames.shape[0]),
+                "height": int(frames.shape[1]),
+                "width": int(frames.shape[2])}
+        if return_video:
+            with open(path, "rb") as f:
+                resp["video_base64"] = base64.b64encode(f.read()).decode()
+        return resp
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send_json(self, code: int, payload: dict):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send_json(200, {
+                        "status": "ok", "model": server.model,
+                        "uptime_s": round(time.time() - server.started_at, 1)})
+                elif self.path == "/stats":
+                    self._send_json(200, server.worker.snapshot())
+                else:
+                    self._send_json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self._send_json(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("body must be a JSON object")
+                    self._send_json(200, server._handle_generate(body))
+                except (ValueError, TypeError) as exc:
+                    self._send_json(400, {"error": str(exc)})
+                except TimeoutError as exc:
+                    self._send_json(504, {"error": str(exc)})
+                except Exception as exc:  # noqa: BLE001
+                    self._send_json(500, {"error": str(exc)})
+
+        return Handler
