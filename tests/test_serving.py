@@ -110,6 +110,23 @@ def test_worker_no_batch_runs_alone():
         w.shutdown()
 
 
+def test_init_video_requests_run_alone():
+    """img2img requests carry per-request pixels, so they never coalesce."""
+    def run_batch(requests):
+        assert len(requests) == 1
+        return [np.zeros((3, 2, 4, 4), np.float32)]
+
+    w = BatchingWorker(run_batch, max_batch=8, batch_window_ms=100)
+    try:
+        reqs = [GenerationRequest(prompt=f"p{i}", init_video_base64="AAAA")
+                for i in range(2)]
+        pendings = [w.submit(r) for r in reqs]
+        _drain(w, pendings)
+        assert w.snapshot()["batches"] == 2
+    finally:
+        w.shutdown()
+
+
 def test_worker_isolates_errors_per_batch():
     def run_batch(requests):
         if requests[0].prompt == "boom":
@@ -191,6 +208,18 @@ def test_serve_http_end_to_end(tiny_pipeline_dir, tmp_path):
         code, body = post(dict(payload, prompt="a bird",
                                return_video=True))
         assert code == 200 and len(body["video_base64"]) > 0
+
+        # img2img: round-trip an init video through base64; LaMa ckpt is
+        # absent in this env so remove_watermark exercises the identity
+        # gating path (tests/test_inference.py pins that behavior)
+        import base64 as b64
+        with open(body_path := body["path"], "rb") as f:
+            init_b64 = b64.b64encode(f.read()).decode()
+        code, body = post(dict(payload, prompt="a fish",
+                               init_video_base64=init_b64, init_weight=0.4,
+                               remove_watermark=True))
+        assert code == 200, body
+        assert body["num_frames"] == 4
 
         # validation errors surface as 400s
         code, body = post(dict(payload, prompt=""))

@@ -250,10 +250,9 @@ def inference_main(argv=None):
         enable_persistent_compile_cache)
     enable_persistent_compile_cache()
 
-    from text_to_video_finetuning_tpu.pipelines.inference import inference
-    from text_to_video_finetuning_tpu.data.video import (VideoReader,
-                                                         export_to_video,
-                                                         resize_video)
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        inference, load_init_video)
+    from text_to_video_finetuning_tpu.data.video import export_to_video
 
     out_name = f"{args.output_dir}/"
     if args.init_video is not None:
@@ -269,21 +268,8 @@ def inference_main(argv=None):
 
     init_video = None
     if args.init_video is not None:
-        vr = VideoReader(args.init_video)
-        frames = vr[:]                                  # (F, H, W, C) uint8
-        video = frames.transpose(0, 3, 1, 2).astype(np.float32)
-        video = video / 127.5 - 1.0
-        # trilinear resize to (num_frames, H, W): spatial bilinear per frame
-        # then linear interpolation over time
-        video = resize_video(video, args.height, args.width)
-        f_in = video.shape[0]
-        if f_in != args.num_frames:
-            src = np.linspace(0, f_in - 1, args.num_frames)
-            lo = np.floor(src).astype(int)
-            hi = np.minimum(lo + 1, f_in - 1)
-            w = (src - lo)[:, None, None, None].astype(np.float32)
-            video = video[lo] * (1 - w) + video[hi] * w
-        init_video = video.transpose(1, 0, 2, 3)[None]  # (1, C, F, H, W)
+        init_video = load_init_video(args.init_video, args.height,
+                                     args.width, args.num_frames)
 
     videos = inference(
         model=args.model, prompt=prompts, negative_prompt=negative,

@@ -122,6 +122,28 @@ def initialize_pipeline(model: str, use_fused_attention: bool = True,
         tokenizer=tokenizer, scheduler_config=scheduler_config)
 
 
+def load_init_video(path: str, height: int, width: int,
+                    num_frames: int) -> np.ndarray:
+    """Read + preprocess an init video for img2img: [-1, 1] floats,
+    spatial bilinear resize then linear interpolation over time to
+    num_frames (reference inference.py:354-372's trilinear resize).
+    Returns (1, C, F, H, W)."""
+    from ..data.video import VideoReader, resize_video
+    vr = VideoReader(path)
+    frames = vr[:]                                      # (F, H, W, C) uint8
+    video = frames.transpose(0, 3, 1, 2).astype(np.float32)
+    video = video / 127.5 - 1.0
+    video = resize_video(video, height, width)
+    f_in = video.shape[0]
+    if f_in != num_frames:
+        src = np.linspace(0, f_in - 1, num_frames)
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, f_in - 1)
+        w = (src - lo)[:, None, None, None].astype(np.float32)
+        video = video[lo] * (1 - w) + video[hi] * w
+    return video.transpose(1, 0, 2, 3)[None]            # (1, C, F, H, W)
+
+
 def prepare_input_latents(pipe: TextToVideoSDPipeline, batch_size: int,
                           num_frames: int, height: int, width: int,
                           init_video: Optional[np.ndarray],

@@ -59,9 +59,17 @@ class GenerationRequest:
     fps: int = 12
     loop: bool = False
     no_batch: bool = False      # opt out of coalescing (exact seed repro)
+    init_video_base64: Optional[str] = None   # img2img: base64 mp4
+    init_weight: float = 0.5
+    remove_watermark: bool = False             # LaMa inpaint post-process
 
     def resolved_window(self) -> int:
         return self.window_size or self.num_frames
+
+    def runs_alone(self) -> bool:
+        """init-video requests carry per-request pixel data, so they can
+        never share a dispatch; explicit no_batch also runs solo."""
+        return self.no_batch or self.init_video_base64 is not None
 
 
 def request_batch_key(req: GenerationRequest):
@@ -72,7 +80,7 @@ def request_batch_key(req: GenerationRequest):
     return (req.width, req.height, req.num_frames, req.resolved_window(),
             req.num_steps, float(req.guidance_scale),
             req.negative_prompt or "", req.loop, req.vae_batch_size,
-            req.no_batch)
+            req.runs_alone())
 
 
 @dataclass
@@ -135,7 +143,7 @@ class BatchingWorker:
     def _gather(self, first: _Pending) -> List[_Pending]:
         batch = [first]
         key = request_batch_key(first.request)
-        if first.request.no_batch or self.max_batch == 1:
+        if first.request.runs_alone() or self.max_batch == 1:
             return batch
         deadline = time.monotonic() + self.batch_window_s
         skipped: List[_Pending] = []
@@ -150,7 +158,7 @@ class BatchingWorker:
                 # re-queue the sentinel so the main loop sees it next cycle
                 self._queue.put(self._stop)
                 break
-            if (not item.request.no_batch
+            if (not item.request.runs_alone()
                     and request_batch_key(item.request) == key):
                 batch.append(item)
             else:
@@ -196,6 +204,18 @@ def _video_to_uint8(video: np.ndarray) -> np.ndarray:
     return ((frames + 1.0) * 127.5).astype(np.uint8)
 
 
+def _postprocess(video: np.ndarray, remove_watermark: bool) -> np.ndarray:
+    """Mirror the inference CLI's post-processing (cli.py inference_main):
+    optional LaMa watermark inpaint, then uint8 (F, H, W, C) frames."""
+    if remove_watermark:
+        from ..models.lama import inpaint_watermark
+        frames = (np.transpose(video, (1, 0, 2, 3)) + 1.0) / 2.0
+        frames = inpaint_watermark(frames)
+        frames = np.clip(np.transpose(frames, (0, 2, 3, 1)), 0, 1) * 255
+        return frames.astype(np.uint8)
+    return _video_to_uint8(video)
+
+
 class T2VServer:
     """Resident pipeline + batching worker + HTTP front end."""
 
@@ -228,12 +248,23 @@ class T2VServer:
         negative = ([head.negative_prompt] * len(requests)
                     if head.negative_prompt else None)
         seed = head.seed if head.seed is not None else 0
+        init_video, init_weight = None, 0.0
+        if head.init_video_base64:                       # runs_alone(): B=1
+            import tempfile
+            from ..pipelines.inference import load_init_video
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                f.write(base64.b64decode(head.init_video_base64))
+                f.flush()
+                init_video = load_init_video(f.name, head.height, head.width,
+                                             head.num_frames)
+            init_weight = head.init_weight
         videos = self._generate(
             self.pipe, prompts, negative_prompt=negative, width=head.width,
             height=head.height, num_frames=head.num_frames,
             window_size=head.resolved_window(),
             vae_batch_size=head.vae_batch_size, num_steps=head.num_steps,
-            guidance_scale=head.guidance_scale, loop=head.loop, seed=seed)
+            guidance_scale=head.guidance_scale, init_video=init_video,
+            init_weight=init_weight, loop=head.loop, seed=seed)
         return [np.asarray(v) for v in videos]
 
     def warmup(self, request: Optional[GenerationRequest] = None):
@@ -272,7 +303,7 @@ class T2VServer:
         for f, typ in (("width", int), ("height", int), ("num_frames", int),
                        ("window_size", int), ("num_steps", int),
                        ("vae_batch_size", int), ("seed", int), ("fps", int),
-                       ("guidance_scale", float)):
+                       ("guidance_scale", float), ("init_weight", float)):
             if body.get(f) is not None:
                 body[f] = typ(body[f])
         req = GenerationRequest(**body)
@@ -284,7 +315,7 @@ class T2VServer:
         if pending.error:
             raise RuntimeError(pending.error)
 
-        frames = _video_to_uint8(pending.video)
+        frames = _postprocess(pending.video, req.remove_watermark)
         name = f"{uuid.uuid4().hex[:12]}.mp4"
         path = os.path.join(self.output_dir, name)
         from ..data.video import export_to_video
