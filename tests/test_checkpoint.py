@@ -48,3 +48,93 @@ def test_saved_unet_loads_in_torch(tiny_pipeline_dir):
     assert any(k.startswith("down_blocks.0.attentions.0.") for k in keys)
     # torch conv layout (out, in, kh, kw)
     assert conv_in.shape[1] == 4 and conv_in.shape[2] == 3
+
+
+def test_async_train_state_saver_roundtrip(tmp_path):
+    """AsyncTrainStateSaver writes in the background; after wait() the
+    state restores bit-exact through the same load_train_state path the
+    engine uses on --resume_from_checkpoint (utils/train_state_io.py).
+    Two back-to-back saves exercise the at-most-one-in-flight join."""
+    from text_to_video_finetuning_tpu.utils import train_state_io
+
+    state = {"step": jax.numpy.asarray(7),
+             "params": {"w": jax.numpy.arange(12, dtype="float32")
+                        .reshape(3, 4)},
+             "mu": {"w": jax.numpy.full((3, 4), 0.25, dtype="float32")}}
+    saver = train_state_io.AsyncTrainStateSaver()
+    d1, d2 = str(tmp_path / "ckpt-1"), str(tmp_path / "ckpt-2")
+    saver.save(d1, state)
+    # second save must first join the in-flight first write
+    state2 = jax.tree_util.tree_map(lambda x: x + 1, state)
+    saver.save(d2, state2)
+    saver.wait()
+    saver.close()
+    assert train_state_io.has_train_state(d1)
+    assert train_state_io.has_train_state(d2)
+    template = jax.tree_util.tree_map(lambda x: x * 0, state)
+    r1 = train_state_io.load_train_state(d1, template)
+    r2 = train_state_io.load_train_state(d2, template)
+    for got, want in ((r1, state), (r2, state2)):
+        flat_g = jax.tree_util.tree_leaves(got)
+        flat_w = jax.tree_util.tree_leaves(want)
+        for g, w in zip(flat_g, flat_w):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_one_in_flight_orders_and_raises():
+    """OneInFlight serializes tasks (a submit joins the previous write) and
+    re-raises a background failure on the caller thread -- fail-fast, the
+    engine's error policy (utils/background.py)."""
+    import time
+    from text_to_video_finetuning_tpu.utils.background import OneInFlight
+
+    order = []
+    w = OneInFlight()
+    w.submit(lambda: (time.sleep(0.2), order.append("first")))
+    w.submit(lambda: order.append("second"))  # must join "first" before run
+    w.join()
+    assert order == ["first", "second"]
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        w.join()
+    # the worker is reusable after a failure
+    w.submit(lambda: order.append("third"))
+    w.join()
+    assert order[-1] == "third"
+
+
+def test_prune_checkpoints_keeps_newest_and_in_flight(tmp_path):
+    """checkpoints_total_limit semantics (diffusers-style, beyond the
+    reference which keeps every checkpoint): newest `limit` dirs survive,
+    the in-flight dir is never pruned, non-checkpoint entries untouched."""
+    import os
+    from text_to_video_finetuning_tpu.training.engine import \
+        prune_checkpoints
+
+    for s in (100, 200, 300, 400):
+        os.makedirs(tmp_path / f"checkpoint-{s}" / "unet")
+    os.makedirs(tmp_path / "samples")
+    (tmp_path / "checkpoint-bogus").mkdir()  # unparseable: ignored
+
+    prune_checkpoints(str(tmp_path), limit=2, in_flight_step=400)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert "checkpoint-300" in left and "checkpoint-400" in left
+    assert "checkpoint-100" not in left and "checkpoint-200" not in left
+    assert "samples" in left and "checkpoint-bogus" in left
+
+    # limit=None / 0 keeps everything (reference behavior)
+    prune_checkpoints(str(tmp_path), limit=None, in_flight_step=400)
+    prune_checkpoints(str(tmp_path), limit=0, in_flight_step=400)
+    assert (tmp_path / "checkpoint-300").is_dir()
+
+    # the in-flight dir survives even when older than the newest `limit`
+    os.makedirs(tmp_path / "checkpoint-500")
+    os.makedirs(tmp_path / "checkpoint-600")
+    prune_checkpoints(str(tmp_path), limit=1, in_flight_step=300)
+    assert (tmp_path / "checkpoint-300").is_dir()
+    assert (tmp_path / "checkpoint-600").is_dir()
+    assert not (tmp_path / "checkpoint-400").exists()

@@ -105,6 +105,9 @@ class TrainConfig:
     split_two_pass: bool = False
     eval_train: bool = False
     profile_steps: int = 0      # if >0, capture a jax profiler trace
+    # keep only the newest N checkpoint-<step> dirs (None: keep all, the
+    # reference behavior); pruning runs after each periodic save
+    checkpoints_total_limit: Optional[int] = None
     # unknown YAML keys land here (reference **kwargs semantics)
     extra_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

@@ -16,6 +16,7 @@ import datetime
 import logging
 import math
 import os
+import shutil
 import time
 from typing import Optional
 
@@ -39,6 +40,7 @@ from ..pipelines.text_to_video import TextToVideoSDPipeline
 from ..schedulers.ddpm import DDPMScheduler
 from ..utils import checkpoint as ckpt
 from ..utils import train_state_io
+from ..utils.background import OneInFlight
 from ..utils.profiling import StepTimer, unet3d_flops_per_step
 from ..utils.pytree import merge, tree_size
 from .optim import get_lr_schedule, get_optimizer
@@ -227,6 +229,33 @@ def save_pipe(cfg: TrainConfig, output_dir: str, global_step: int,
             scheduler_config=scheduler_cfg,
             tokenizer_dir=os.path.join(pretrained_model_path, "tokenizer"))
     logger.info(f"Saved model at {save_path} on step {global_step}")
+
+
+def prune_checkpoints(output_dir: str, limit: Optional[int],
+                      in_flight_step: int):
+    """Keep only the newest `limit` `checkpoint-<step>` dirs (diffusers
+    `checkpoints_total_limit` semantics — the reference keeps every one).
+    The dir written THIS step is never pruned: the async savers own it,
+    and any earlier in-flight write was already joined before this save
+    started (OneInFlight / AsyncTrainStateSaver are one-in-flight)."""
+    if not limit or limit < 1:
+        return
+    steps = []
+    for name in os.listdir(output_dir):
+        if not name.startswith("checkpoint-"):
+            continue
+        try:
+            steps.append(int(name.split("-", 1)[1]))
+        except ValueError:
+            continue
+    steps.sort()
+    for s in (steps[:-limit] if len(steps) > limit else []):
+        if s == in_flight_step:
+            continue
+        shutil.rmtree(os.path.join(output_dir, f"checkpoint-{s}"),
+                      ignore_errors=True)
+        logger.info(f"Pruned checkpoint-{s} (checkpoints_total_limit="
+                    f"{limit})")
 
 
 def maybe_init_distributed():
@@ -640,6 +669,12 @@ def main(**kwargs):
         # than len(loader) (per-bucket drop_last), and a fixed range() would
         # end the run silently short of max_train_steps
         epoch = 0
+        # periodic saves overlap disk writes with training: the diffusers
+        # pipeline layout goes through a one-in-flight background thread
+        # (params already host-snapshotted), the TrainState through orbax's
+        # async commit
+        state_saver = train_state_io.AsyncTrainStateSaver()
+        pipe_saver = OneInFlight(name="t2v-save-pipe")
         while global_step < cfg.max_train_steps:
             epoch_batches = 0
             for step, batch in enumerate(train_dataloader):
@@ -717,12 +752,16 @@ def main(**kwargs):
 
                 if global_step % cfg.checkpointing_steps == 0 and is_main:
                     params_now, lora_now = current_params()
-                    save_pipe(cfg, output_dir, global_step,
-                              cfg.pretrained_model_path, models, params_now,
-                              lora_now, lora_manager, is_checkpoint=True)
-                    train_state_io.save_train_state(
+                    pipe_saver.submit(
+                        save_pipe, cfg, output_dir, global_step,
+                        cfg.pretrained_model_path, models, params_now,
+                        lora_now, lora_manager, True)
+                    state_saver.save(
                         os.path.join(output_dir,
                                      f"checkpoint-{global_step}"), state)
+                    prune_checkpoints(output_dir,
+                                      cfg.checkpoints_total_limit,
+                                      in_flight_step=global_step)
 
                 if is_main and should_sample(global_step,
                                              cfg.validation_steps,
@@ -776,6 +815,11 @@ def main(**kwargs):
                     "bucket below batch size); reduce train_batch_size or "
                     "enable extend_dataset")
 
+        # join any in-flight async writes before the run returns (a caller
+        # may immediately re-open the checkpoint dir to resume)
+        pipe_saver.join()
+        state_saver.wait()
+        state_saver.close()
         if is_main:
             params_now, lora_now = current_params()
             save_pipe(cfg, output_dir, global_step,
