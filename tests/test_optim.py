@@ -88,3 +88,56 @@ def test_group_overrides_apply_distinct_lr():
     # Adam step magnitude ~= lr for a constant gradient
     assert abs(float(updates["unet"]["w"][0])) > 50 * abs(
         float(updates["text"]["w"][0]))
+
+
+def test_skip_nonfinite_updates_guard():
+    """The engine's skip_nonfinite_updates composition (engine.py:
+    apply_if_finite wraps OUTSIDE MultiSteps — MultiSteps resets its
+    accumulator by multiplying with zero, so a NaN that reaches it sticks
+    forever): a NaN micro-gradient is dropped whole, params/moments/
+    accumulator untouched; later finite micro-batches train normally;
+    after max_consecutive_errors the guard gives up and lets NaN through
+    so divergence stays visible."""
+    import optax
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+
+    sched = get_lr_schedule("constant", 1e-2, 0, 100)
+    opt = get_optimizer(sched, max_grad_norm=1.0)
+    opt = optax.MultiSteps(opt, every_k_schedule=2)
+    opt = optax.apply_if_finite(opt, max_consecutive_errors=2)
+
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    g_ok = {"w": jnp.full((3,), 0.1)}
+    g_bad = {"w": jnp.array([jnp.nan, 0.1, 0.1])}
+
+    def micro(params, st, g):
+        u, st = opt.update(g, st, params)
+        return optax.apply_updates(params, u), st
+
+    p, st = micro(params, st, g_ok)
+    p1, st = micro(p, st, g_ok)           # window boundary: applied
+    assert not np.allclose(np.asarray(p1["w"]), 1.0)
+
+    # a NaN micro-batch is dropped whole: params unchanged, accumulator
+    # never sees it (mini_step frozen), consecutive counter = 1
+    p2, st = micro(p1, st, g_bad)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    assert int(st.notfinite_count) == 1
+    assert int(st.inner_state.mini_step) == 0
+
+    # the next finite window applies a clean (non-NaN) update and resets
+    # the consecutive counter
+    p, st = micro(p2, st, g_ok)
+    p3, st = micro(p, st, g_ok)
+    assert int(st.notfinite_count) == 0
+    assert np.isfinite(np.asarray(p3["w"])).all()
+    assert not np.allclose(np.asarray(p3["w"]), np.asarray(p2["w"]))
+
+    # past max_consecutive_errors the guard accepts the update: divergence
+    # stays visible as NaN params instead of an infinite skip loop
+    p, s = p3, st
+    for _ in range(6):
+        p, s = micro(p, s, g_bad)
+    assert np.isnan(np.asarray(p["w"])).any()

@@ -819,3 +819,77 @@ def test_resume_step_skip_predicate():
     cfg2 = TrainConfig(pretrained_model_path="x", output_dir="y",
                        resume_from_checkpoint=None, resume_step=3)
     assert not any(should_skip_resume_step(cfg2, 0, s) for s in range(5))
+
+
+def test_ema_shadow_tracks_optimizer_updates(tiny_pipeline_dir):
+    """use_ema semantics (training/train_step.py::_ema_update): the EMA
+    shadow blends toward the post-update params once per OPTIMIZER update
+    (ema_every = accumulation window), stays untouched mid-window, and
+    matches the hand-computed blend of the parameter trajectory."""
+    import optax
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+
+    k, decay = 2, 0.5
+    optimizer = get_optimizer(get_lr_schedule("constant", 3e-4, 0, 50),
+                              max_grad_norm=1.0)
+    optimizer = optax.MultiSteps(optimizer, every_k_schedule=k)
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=clip, vae=vae,
+        scheduler=DDPMScheduler(sched_cfg), cache_latents=False,
+        ema_decay=decay, ema_every=k)
+    jit_step = jax.jit(make_train_step(step_cfg, optimizer))
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "pixel_values": jax.random.uniform(rng, (1, 2, 3, 32, 32),
+                                           minval=-1, maxval=1),
+        "prompt_ids": jnp.ones((1, 77), jnp.int32),
+    }
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng,
+                       ema=jax.tree_util.tree_map(jnp.copy, trainable))
+
+    expected_ema = jax.device_get(trainable)
+    for micro in range(1, 2 * k + 1):
+        state, _ = jit_step(state, frozen, vae_params, batch)
+        if micro % k == 0:   # optimizer update boundary: blend
+            p = jax.device_get(state.trainable)
+            expected_ema = jax.tree_util.tree_map(
+                lambda e, q: e * decay + q * (1 - decay), expected_ema, p)
+        else:                # mid-window: shadow must be untouched
+            for g, w in zip(jax.tree_util.tree_leaves(
+                                jax.device_get(state.ema)),
+                            jax.tree_util.tree_leaves(expected_ema)):
+                np.testing.assert_array_equal(g, w)
+
+    got = jax.device_get(state.ema)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(expected_ema)):
+        np.testing.assert_allclose(g, w, rtol=0, atol=1e-7)
+    # the shadow lags the live params (decay < 1, params moved)
+    diffs = [np.abs(a - b).max() for a, b in zip(
+        jax.tree_util.tree_leaves(got),
+        jax.tree_util.tree_leaves(jax.device_get(state.trainable)))]
+    assert max(diffs) > 0

@@ -108,6 +108,16 @@ class TrainConfig:
     # keep only the newest N checkpoint-<step> dirs (None: keep all, the
     # reference behavior); pruning runs after each periodic save
     checkpoints_total_limit: Optional[int] = None
+    # if >0, skip optimizer updates whose gradients contain NaN/inf
+    # (params + Adam moments untouched); after that many CONSECUTIVE
+    # skips the update is let through (divergence stays visible as NaN
+    # loss).  0 disables (reference behavior: NaNs propagate immediately)
+    skip_nonfinite_updates: int = 0
+    # EMA shadow of the trainable params, blended once per optimizer
+    # update; saved pipelines and validation samples use the EMA weights
+    # (the TrainState keeps both, so resume is still bit-exact)
+    use_ema: bool = False
+    ema_decay: float = 0.9999
     # unknown YAML keys land here (reference **kwargs semantics)
     extra_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

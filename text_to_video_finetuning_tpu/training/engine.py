@@ -481,6 +481,19 @@ def main(**kwargs):
     if cfg.gradient_accumulation_steps > 1:
         optimizer = optax.MultiSteps(
             optimizer, every_k_schedule=cfg.gradient_accumulation_steps)
+    if cfg.skip_nonfinite_updates:
+        # bf16 production guard: a micro-batch whose gradients contain
+        # NaN/inf is dropped whole (params, Adam moments AND the
+        # accumulation window untouched) instead of poisoning the weights;
+        # after N CONSECUTIVE bad micro-batches optax gives up and lets the
+        # NaN through, so a genuinely diverged run still surfaces as NaN
+        # loss rather than spinning forever.  The guard must wrap OUTSIDE
+        # MultiSteps: its accumulator resets by multiplying with zero, so
+        # one NaN that reaches it sticks forever (0*NaN=NaN) -- checking
+        # each micro-gradient keeps NaNs out of the accumulator entirely
+        # (a dropped micro-batch defers the window's update by one step).
+        optimizer = optax.apply_if_finite(
+            optimizer, max_consecutive_errors=cfg.skip_nonfinite_updates)
 
     # datasets
     train_datasets = get_train_dataset(cfg.dataset_types, cfg.train_data,
@@ -554,7 +567,9 @@ def main(**kwargs):
         scaling_factor=vae_config.scaling_factor,
         mixed_precision=cfg.mixed_precision,
         eval_train=bool(cfg.eval_train),
-        two_pass=cfg.two_pass_loss)
+        two_pass=cfg.two_pass_loss,
+        ema_decay=(cfg.ema_decay if cfg.use_ema else 0.0),
+        ema_every=cfg.gradient_accumulation_steps)
     train_step = make_train_step(step_cfg, optimizer)
 
     # shard: params replicated (fsdp shards if configured), batch over dp
@@ -563,7 +578,11 @@ def main(**kwargs):
         state = TrainState(step=jnp.zeros((), jnp.int32),
                            trainable=trainable,
                            opt_state=optimizer.init(trainable),
-                           rng=state_rng)
+                           rng=state_rng,
+                           # distinct buffers: the step donates the state,
+                           # aliased ema/trainable leaves would double-free
+                           ema=(jax.tree_util.tree_map(jnp.copy, trainable)
+                                if cfg.use_ema else None))
         use_fsdp = cfg.mesh_fsdp > 1
         state = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, replicate(mesh)), state)
@@ -649,8 +668,13 @@ def main(**kwargs):
             pass1=pass1))
         profile_dir = os.path.join(output_dir, "profile")
 
-        def current_params():
-            host_trainable = jax.device_get(state.trainable)
+        def current_params(prefer_ema: bool = True):
+            """Host snapshot of the weights to save/sample: the EMA shadow
+            when use_ema (standard diffusers export semantics), else the
+            live trainable subtree."""
+            src = (state.ema if (cfg.use_ema and state.ema is not None
+                                 and prefer_ema) else state.trainable)
+            host_trainable = jax.device_get(src)
             return {
                 "unet": merge(unet_frozen,
                               host_trainable.get("unet", {})),

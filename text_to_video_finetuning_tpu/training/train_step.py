@@ -36,9 +36,14 @@ class TrainState:
     trainable: Dict[str, Any]    # {'unet','text','unet_lora','text_lora'}
     opt_state: Any
     rng: jax.Array
+    # EMA shadow of `trainable` (beyond reference; None when use_ema is
+    # off -- None is an empty pytree subtree, so existing 4-field states,
+    # checkpoints and shardings are unaffected)
+    ema: Any = None
 
     def tree_flatten(self):
-        return (self.step, self.trainable, self.opt_state, self.rng), None
+        return (self.step, self.trainable, self.opt_state, self.rng,
+                self.ema), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -66,6 +71,11 @@ class TrainStepConfig:
     # reference eval_train kwarg (train.py:779-781): run the models in eval
     # mode during training (disables dropout)
     eval_train: bool = False
+    # EMA of the trainable subtree (beyond reference): decay applied once
+    # per OPTIMIZER update, i.e. every `ema_every` micro-steps (set to
+    # gradient_accumulation_steps); 0.0 disables
+    ema_decay: float = 0.0
+    ema_every: int = 1
     # The reference ALWAYS runs two UNet passes when frames > 1
     # (train.py:813-829 `for i in range(2)`), even with a frozen text
     # encoder -- where pass 1 repeats pass 0 on the same inputs (only the
@@ -247,6 +257,19 @@ def make_loss_fn(cfg: TrainStepConfig, pass_sel: Optional[int] = None):
     return loss_fn
 
 
+def _ema_update(cfg: TrainStepConfig, state: TrainState, new_trainable):
+    """Blend the EMA shadow toward the post-update params, once per
+    optimizer update: at non-boundary micro-steps (MultiSteps mid-window)
+    the effective decay is 1.0, leaving the shadow untouched."""
+    if cfg.ema_decay <= 0.0 or state.ema is None:
+        return state.ema
+    at_boundary = ((state.step + 1) % cfg.ema_every) == 0
+    decay = jnp.where(at_boundary, cfg.ema_decay, 1.0)
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        state.ema, new_trainable)
+
+
 def make_train_step(cfg: TrainStepConfig, optimizer):
     """Build the pure train_step(state, frozen, vae_params, batch)."""
     loss_fn = make_loss_fn(cfg)
@@ -261,7 +284,8 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         metrics = {"loss": loss, **aux,
                    "grad_norm": optax.global_norm(grads)}
         return TrainState(step=state.step + 1, trainable=new_trainable,
-                          opt_state=new_opt_state, rng=rng), metrics
+                          opt_state=new_opt_state, rng=rng,
+                          ema=_ema_update(cfg, state, new_trainable)), metrics
 
     return train_step
 
@@ -308,7 +332,8 @@ def make_split_train_step(cfg: TrainStepConfig, optimizer):
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = {**losses, "grad_norm": optax.global_norm(grads)}
         return TrainState(step=state.step + 1, trainable=new_trainable,
-                          opt_state=new_opt_state, rng=new_rng), metrics
+                          opt_state=new_opt_state, rng=new_rng,
+                          ema=_ema_update(cfg, state, new_trainable)), metrics
 
     # donate only the state: its leaves (trainable + opt moments + step +
     # rng) pair 1:1 with the new TrainState's outputs; donating the grad
