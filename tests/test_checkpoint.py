@@ -138,3 +138,76 @@ def test_prune_checkpoints_keeps_newest_and_in_flight(tmp_path):
     assert (tmp_path / "checkpoint-300").is_dir()
     assert (tmp_path / "checkpoint-600").is_dir()
     assert not (tmp_path / "checkpoint-400").exists()
+
+
+def test_train_state_restore_bridges_ema_presence_mismatch(tmp_path):
+    """use_ema on/off changes the TrainState tree structure (the ema
+    field); load_train_state bridges a presence mismatch instead of
+    surfacing orbax's opaque structure error (ADVICE r3):
+    - resume WITHOUT->WITH ema: the shadow is seeded from the restored
+      trainable params;
+    - resume WITH->WITHOUT: the stored shadow is dropped;
+    - a genuine structure mismatch still raises, with a targeted message."""
+    import dataclasses
+
+    from text_to_video_finetuning_tpu.training import TrainState
+    from text_to_video_finetuning_tpu.utils import train_state_io
+
+    trainable = {"unet": {"w": jax.numpy.arange(6, dtype="float32")}}
+    base = TrainState(step=jax.numpy.asarray(5, "int32"),
+                      trainable=trainable,
+                      opt_state={"mu": {"unet": {"w": jax.numpy.ones(6)}}},
+                      rng=jax.random.PRNGKey(3), ema=None)
+
+    # saved WITHOUT ema, resumed WITH use_ema: shadow seeded from trainable
+    d1 = str(tmp_path / "ckpt-no-ema")
+    train_state_io.save_train_state(d1, base)
+    template_ema = dataclasses.replace(
+        base,
+        trainable=jax.tree_util.tree_map(lambda x: x * 0, trainable),
+        ema=jax.tree_util.tree_map(lambda x: x * 0, trainable))
+    restored = train_state_io.load_train_state(d1, template_ema)
+    assert restored.ema is not None
+    np.testing.assert_array_equal(np.asarray(restored.ema["unet"]["w"]),
+                                  np.asarray(trainable["unet"]["w"]))
+    np.testing.assert_array_equal(np.asarray(restored.trainable["unet"]["w"]),
+                                  np.asarray(trainable["unet"]["w"]))
+
+    # saved WITH ema, resumed with use_ema off: shadow discarded
+    with_ema = dataclasses.replace(
+        base, ema=jax.tree_util.tree_map(lambda x: x + 10, trainable))
+    d2 = str(tmp_path / "ckpt-ema")
+    train_state_io.save_train_state(d2, with_ema)
+    restored2 = train_state_io.load_train_state(
+        d2, dataclasses.replace(template_ema, ema=None))
+    assert restored2.ema is None
+    np.testing.assert_array_equal(
+        np.asarray(restored2.trainable["unet"]["w"]),
+        np.asarray(trainable["unet"]["w"]))
+
+    # a genuinely different tree still fails, with a targeted message
+    bad_template = dataclasses.replace(
+        base, trainable={"unet": {"w": jax.numpy.zeros(6),
+                                  "extra": jax.numpy.zeros(2)}})
+    with pytest.raises(RuntimeError, match="use_ema on/off mismatch"):
+        train_state_io.load_train_state(d1, bad_template)
+
+
+def test_one_in_flight_context_labels_failure():
+    """submit(context=...) pins a background failure to the task that
+    failed (the exception only re-raises at the NEXT submit/join, up to a
+    checkpoint interval later -- ADVICE r3)."""
+    import traceback
+
+    from text_to_video_finetuning_tpu.utils.background import OneInFlight
+
+    w = OneInFlight()
+
+    def boom():
+        raise RuntimeError("disk full")
+
+    w.submit(boom, context="checkpoint-500 pipeline save")
+    with pytest.raises(RuntimeError) as exc_info:
+        w.join()
+    rendered = "".join(traceback.format_exception(exc_info.value))
+    assert "checkpoint-500 pipeline save" in rendered

@@ -141,3 +141,44 @@ def test_skip_nonfinite_updates_guard():
     for _ in range(6):
         p, s = micro(p, s, g_bad)
     assert np.isnan(np.asarray(p["w"])).any()
+
+
+def test_update_applied_reads_optimizer_state_truth():
+    """_update_applied (training/train_step.py): the EMA/bookkeeping
+    boundary is read from the POST-update optimizer state -- apply_if_finite
+    last_finite AND MultiSteps mini_step wrap -- not a step counter, so a
+    dropped non-finite micro-batch (which defers the accumulation window)
+    cannot misalign the boundary (ADVICE r3)."""
+    import optax
+    from text_to_video_finetuning_tpu.training.train_step import (
+        TrainState, _update_applied)
+
+    k = 2
+    opt = optax.apply_if_finite(
+        optax.MultiSteps(optax.adamw(1e-2), every_k_schedule=k), 4)
+    params = {"w": jnp.ones(3)}
+    st = opt.init(params)
+    g_ok = {"w": jnp.full((3,), 0.1)}
+    g_bad = {"w": jnp.array([jnp.nan, 0.1, 0.1])}
+
+    def state_stub(step):
+        return TrainState(step=jnp.asarray(step), trainable=params,
+                          opt_state=None, rng=None)
+
+    applied_seq = []
+    step = 0
+    for g in (g_ok, g_bad, g_ok, g_ok, g_ok):
+        u, st = opt.update(g, st, params)
+        applied_seq.append(bool(_update_applied(st, state_stub(step), k)))
+        step += 1
+    # micro 1: mid-window; micro 2: NaN dropped (the step-counter gate
+    # would fire HERE); micro 3: window completes -> REAL update;
+    # micro 4: mid-window; micro 5: real update
+    assert applied_seq == [False, False, True, False, True]
+
+    # fallback: neither wrapper present -> step-counter cadence
+    plain = optax.adamw(1e-2)
+    pst = plain.init(params)
+    _, pst = plain.update(g_ok, pst, params)
+    assert bool(_update_applied(pst, state_stub(0), 2)) is False
+    assert bool(_update_applied(pst, state_stub(1), 2)) is True

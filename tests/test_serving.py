@@ -193,6 +193,10 @@ def test_serve_http_end_to_end(tiny_pipeline_dir, tmp_path):
             code, body = results[name]
             assert code == 200, body
             assert body["num_frames"] == 4
+            # coalescing is observable per request (VERDICT r3): both
+            # requests shared one dispatch, sampled from the head's seed
+            assert body["coalesced"] == 2, body
+            assert body["seed_used"] == payload["seed"], body
             # the tiny fixture VAE upsamples x2 (2 blocks) while latents
             # are prepared at //8, so decoded H/W != requested 32 here;
             # the server reports the DECODED geometry

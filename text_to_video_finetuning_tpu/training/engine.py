@@ -699,145 +699,174 @@ def main(**kwargs):
         # async commit
         state_saver = train_state_io.AsyncTrainStateSaver()
         pipe_saver = OneInFlight(name="t2v-save-pipe")
-        while global_step < cfg.max_train_steps:
-            epoch_batches = 0
-            for step, batch in enumerate(train_dataloader):
-                epoch_batches += 1
-                if should_skip_resume_step(cfg, epoch, step):
-                    continue
-                last_prompt = batch["text_prompt"][0]
-                device_batch = {
-                    "pixel_values": _put_global_batch(
-                        np.asarray(batch["pixel_values"], np.float32),
-                        data_sharding),
-                    "prompt_ids": _put_global_batch(
-                        np.asarray(batch["prompt_ids"]), ids_sharding),
-                }
-                # profiler window counts steps since THIS run started (a
-                # resumed run's global_step never passes small thresholds)
-                if cfg.profile_steps and run_steps == 1:
-                    jax.profiler.start_trace(profile_dir)
-                if jax.process_count() > 1 and run_steps == 0:
-                    _aot_compile_and_barrier(jit_step, state, frozen,
-                                             vae_params_d, device_batch)
-                state, metrics = jit_step(state, frozen, vae_params_d,
-                                          device_batch)
-                # window-mean train_loss, reference train.py:855-890: the
-                # logged scalar is the accumulation-window mean of the
-                # (global-batch-mean) loss.  Kept as device arrays -- no
-                # host sync until logging.
-                window_losses.append(metrics["loss"])
-                micro_step += 1
-                run_steps += 1
-                if (cfg.profile_steps
-                        and run_steps == 1 + cfg.profile_steps):
-                    jax.block_until_ready(metrics["loss"])
-                    jax.profiler.stop_trace()
-                    logger.info(f"profiler trace written to {profile_dir}")
-                timer.tick()
+        # join/close the async savers on EVERY exit path: if the loop
+        # raises (data error, Ctrl-C, the empty-epoch ValueError), an
+        # in-flight background write would otherwise never be joined, a
+        # captured background-save exception silently lost, and the
+        # orbax checkpointer never closed (ADVICE r3)
+        try:
+            while global_step < cfg.max_train_steps:
+                epoch_batches = 0
+                for step, batch in enumerate(train_dataloader):
+                    epoch_batches += 1
+                    if should_skip_resume_step(cfg, epoch, step):
+                        continue
+                    last_prompt = batch["text_prompt"][0]
+                    device_batch = {
+                        "pixel_values": _put_global_batch(
+                            np.asarray(batch["pixel_values"], np.float32),
+                            data_sharding),
+                        "prompt_ids": _put_global_batch(
+                            np.asarray(batch["prompt_ids"]), ids_sharding),
+                    }
+                    # profiler window counts steps since THIS run started (a
+                    # resumed run's global_step never passes small thresholds)
+                    if cfg.profile_steps and run_steps == 1:
+                        jax.profiler.start_trace(profile_dir)
+                    if jax.process_count() > 1 and run_steps == 0:
+                        _aot_compile_and_barrier(jit_step, state, frozen,
+                                                 vae_params_d, device_batch)
+                    state, metrics = jit_step(state, frozen, vae_params_d,
+                                              device_batch)
+                    # window-mean train_loss, reference train.py:855-890: the
+                    # logged scalar is the accumulation-window mean of the
+                    # (global-batch-mean) loss.  Kept as device arrays -- no
+                    # host sync until logging.
+                    window_losses.append(metrics["loss"])
+                    micro_step += 1
+                    run_steps += 1
+                    if (cfg.profile_steps
+                            and run_steps == 1 + cfg.profile_steps):
+                        jax.block_until_ready(metrics["loss"])
+                        jax.profiler.stop_trace()
+                        logger.info(f"profiler trace written to {profile_dir}")
+                    timer.tick()
 
-                # reference semantics: global_step counts OPTIMIZER updates
-                # (accelerator.sync_gradients, train.py:886-890), one per
-                # gradient_accumulation_steps micro-batches
-                if micro_step % cfg.gradient_accumulation_steps != 0:
-                    continue
-                global_step += 1
-                train_loss = (jnp.mean(jnp.stack(window_losses))
-                              if window_losses else metrics["loss"])
-                window_losses = []
+                    # reference semantics: global_step counts OPTIMIZER updates
+                    # (accelerator.sync_gradients, train.py:886-890), one per
+                    # gradient_accumulation_steps micro-batches
+                    if micro_step % cfg.gradient_accumulation_steps != 0:
+                        continue
+                    global_step += 1
+                    train_loss = (jnp.mean(jnp.stack(window_losses))
+                                  if window_losses else metrics["loss"])
+                    window_losses = []
 
-                # reference logs train_loss at every optimizer step
-                # (accelerator.log, reference train.py:889); buffer the
-                # device scalar and flush on the %10 boundary so the host
-                # never blocks mid-window (a device_get here would cap the
-                # async dispatch depth at ~1 step)
-                pending_losses.append((global_step, train_loss))
+                    # reference logs train_loss at every optimizer step
+                    # (accelerator.log, reference train.py:889); buffer the
+                    # device scalar and flush on the %10 boundary so the host
+                    # never blocks mid-window (a device_get here would cap the
+                    # async dispatch depth at ~1 step)
+                    pending_losses.append((global_step, train_loss))
 
-                if global_step % 10 == 0 or global_step == 1:
-                    m = jax.device_get(metrics)
-                    if writer is not None:
-                        for gs, tl in pending_losses:
-                            writer.add_scalar(
-                                "train_loss", float(jax.device_get(tl)), gs)
-                    pending_losses = []
-                    stats = timer.stats()
-                    logger.info(
-                        f"step {global_step} "
-                        f"loss={float(jax.device_get(train_loss)):.4f} "
-                        f"grad_norm={float(m['grad_norm']):.3f} "
-                        f"({stats['step_time_s']:.2f}s/step, "
-                        f"mfu={stats['mfu']:.1%})")
-                    if writer is not None:
-                        writer.add_scalar("grad_norm",
-                                          float(m["grad_norm"]), global_step)
-                        writer.add_scalar("steps_per_sec",
-                                          stats["steps_per_sec"], global_step)
-                        writer.add_scalar("mfu", stats["mfu"], global_step)
+                    if global_step % 10 == 0 or global_step == 1:
+                        m = jax.device_get(metrics)
+                        if writer is not None:
+                            for gs, tl in pending_losses:
+                                writer.add_scalar(
+                                    "train_loss", float(jax.device_get(tl)), gs)
+                        pending_losses = []
+                        stats = timer.stats()
+                        # skip_nonfinite_updates: dropped micro-batches defer
+                        # the accumulation window, so global_step (a window
+                        # counter) over-labels true optimizer updates by the
+                        # drop count -- surface it so the drift is visible
+                        drops = ""
+                        if "notfinite_drops" in m:
+                            n_drops = int(m["notfinite_drops"])
+                            if n_drops:
+                                drops = f" nonfinite_drops={n_drops}"
+                        logger.info(
+                            f"step {global_step} "
+                            f"loss={float(jax.device_get(train_loss)):.4f} "
+                            f"grad_norm={float(m['grad_norm']):.3f} "
+                            f"({stats['step_time_s']:.2f}s/step, "
+                            f"mfu={stats['mfu']:.1%}){drops}")
+                        if writer is not None:
+                            writer.add_scalar("grad_norm",
+                                              float(m["grad_norm"]), global_step)
+                            writer.add_scalar("steps_per_sec",
+                                              stats["steps_per_sec"], global_step)
+                            writer.add_scalar("mfu", stats["mfu"], global_step)
 
-                if global_step % cfg.checkpointing_steps == 0 and is_main:
-                    params_now, lora_now = current_params()
-                    pipe_saver.submit(
-                        save_pipe, cfg, output_dir, global_step,
-                        cfg.pretrained_model_path, models, params_now,
-                        lora_now, lora_manager, True)
-                    state_saver.save(
-                        os.path.join(output_dir,
-                                     f"checkpoint-{global_step}"), state)
-                    prune_checkpoints(output_dir,
-                                      cfg.checkpoints_total_limit,
-                                      in_flight_step=global_step)
+                    if global_step % cfg.checkpointing_steps == 0 and is_main:
+                        params_now, lora_now = current_params()
+                        pipe_saver.submit(
+                            save_pipe, cfg, output_dir, global_step,
+                            cfg.pretrained_model_path, models, params_now,
+                            lora_now, lora_manager, True,
+                            context=f"checkpoint-{global_step} pipeline "
+                                    "save")
+                        state_saver.save(
+                            os.path.join(output_dir,
+                                         f"checkpoint-{global_step}"), state)
+                        prune_checkpoints(output_dir,
+                                          cfg.checkpoints_total_limit,
+                                          in_flight_step=global_step)
 
-                if is_main and should_sample(global_step,
-                                             cfg.validation_steps,
-                                             cfg.validation_data):
-                    params_now, lora_now = current_params()
-                    sample_params = dict(params_now)
-                    if (lora_manager.use_lora
-                            and lora_now["unet_lora"] is not None):
-                        sample_params["unet"] = collapse_lora(
-                            params_now["unet"], lora_now["unet_lora"],
-                            unet_sites, cfg.lora_version)
-                    if (lora_manager.use_lora
-                            and lora_now["text_lora"] is not None):
-                        sample_params["text"] = collapse_lora(
-                            params_now["text"], lora_now["text_lora"],
-                            text_sites, cfg.lora_version)
-                    pipe = TextToVideoSDPipeline(
-                        unet=UNet3DConditionModel(
-                            config=unet_config, dtype=compute_dtype,
-                            attention_backend=backend),
-                        unet_params=sample_params["unet"],
-                        vae=vae, vae_params=vae_params,
-                        text_encoder=text_encoder,
-                        text_params=sample_params["text"],
-                        tokenizer=tokenizer,
-                        scheduler_config=scheduler_config)
-                    vd = cfg.validation_data
-                    prompt = (last_prompt if not vd.get("prompt")
-                              else vd["prompt"])
-                    frames = pipe(
-                        prompt, width=vd.get("width", 256),
-                        height=vd.get("height", 256),
-                        num_frames=vd.get("num_frames", 16),
-                        num_inference_steps=vd.get("num_inference_steps",
-                                                   25),
-                        guidance_scale=vd.get("guidance_scale", 9.0))
-                    save_name = (f"{global_step}_dataset-"
-                                 f"{batch['dataset'][0]}_{prompt[:60]}")
-                    out_file = f"{output_dir}/samples/{save_name}.mp4"
-                    export_to_video(frames[0], out_file,
-                                    cfg.train_data.get("fps", 8))
-                    logger.info(f"Saved a new sample to {out_file}")
+                    if is_main and should_sample(global_step,
+                                                 cfg.validation_steps,
+                                                 cfg.validation_data):
+                        params_now, lora_now = current_params()
+                        sample_params = dict(params_now)
+                        if (lora_manager.use_lora
+                                and lora_now["unet_lora"] is not None):
+                            sample_params["unet"] = collapse_lora(
+                                params_now["unet"], lora_now["unet_lora"],
+                                unet_sites, cfg.lora_version)
+                        if (lora_manager.use_lora
+                                and lora_now["text_lora"] is not None):
+                            sample_params["text"] = collapse_lora(
+                                params_now["text"], lora_now["text_lora"],
+                                text_sites, cfg.lora_version)
+                        pipe = TextToVideoSDPipeline(
+                            unet=UNet3DConditionModel(
+                                config=unet_config, dtype=compute_dtype,
+                                attention_backend=backend),
+                            unet_params=sample_params["unet"],
+                            vae=vae, vae_params=vae_params,
+                            text_encoder=text_encoder,
+                            text_params=sample_params["text"],
+                            tokenizer=tokenizer,
+                            scheduler_config=scheduler_config)
+                        vd = cfg.validation_data
+                        prompt = (last_prompt if not vd.get("prompt")
+                                  else vd["prompt"])
+                        frames = pipe(
+                            prompt, width=vd.get("width", 256),
+                            height=vd.get("height", 256),
+                            num_frames=vd.get("num_frames", 16),
+                            num_inference_steps=vd.get("num_inference_steps",
+                                                       25),
+                            guidance_scale=vd.get("guidance_scale", 9.0))
+                        save_name = (f"{global_step}_dataset-"
+                                     f"{batch['dataset'][0]}_{prompt[:60]}")
+                        out_file = f"{output_dir}/samples/{save_name}.mp4"
+                        export_to_video(frames[0], out_file,
+                                        cfg.train_data.get("fps", 8))
+                        logger.info(f"Saved a new sample to {out_file}")
 
-                if global_step >= cfg.max_train_steps:
-                    break
-            epoch += 1
-            if epoch_batches == 0:
-                raise ValueError(
-                    "the train dataloader yielded no batches this epoch "
-                    "(dataset smaller than the global batch size, or every "
-                    "bucket below batch size); reduce train_batch_size or "
-                    "enable extend_dataset")
+                    if global_step >= cfg.max_train_steps:
+                        break
+                epoch += 1
+                if epoch_batches == 0:
+                    raise ValueError(
+                        "the train dataloader yielded no batches this epoch "
+                        "(dataset smaller than the global batch size, or every "
+                        "bucket below batch size); reduce train_batch_size or "
+                        "enable extend_dataset")
+        except BaseException:
+            # already propagating an error: a secondary saver-shutdown
+            # failure must not mask it -- log and re-raise the original
+            for closer in (pipe_saver.join, state_saver.wait,
+                           state_saver.close):
+                try:
+                    closer()
+                except Exception as join_exc:
+                    logger.warning(
+                        f"async saver shutdown error while handling a "
+                        f"training failure: {join_exc}")
+            raise
 
         # join any in-flight async writes before the run returns (a caller
         # may immediately re-open the checkpoint dir to resume)

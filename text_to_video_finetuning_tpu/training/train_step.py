@@ -72,8 +72,12 @@ class TrainStepConfig:
     # mode during training (disables dropout)
     eval_train: bool = False
     # EMA of the trainable subtree (beyond reference): decay applied once
-    # per OPTIMIZER update, i.e. every `ema_every` micro-steps (set to
-    # gradient_accumulation_steps); 0.0 disables
+    # per OPTIMIZER update; 0.0 disables.  The update boundary is derived
+    # from the optimizer state itself (_update_applied) -- MultiSteps'
+    # mini_step wrap and apply_if_finite's last_finite -- so dropped
+    # non-finite micro-batches (which defer the accumulation window) keep
+    # the EMA aligned with REAL updates.  `ema_every` is only the fallback
+    # cadence for optimizers whose state exposes neither signal.
     ema_decay: float = 0.0
     ema_every: int = 1
     # The reference ALWAYS runs two UNet passes when frames > 1
@@ -257,13 +261,44 @@ def make_loss_fn(cfg: TrainStepConfig, pass_sel: Optional[int] = None):
     return loss_fn
 
 
-def _ema_update(cfg: TrainStepConfig, state: TrainState, new_trainable):
-    """Blend the EMA shadow toward the post-update params, once per
-    optimizer update: at non-boundary micro-steps (MultiSteps mid-window)
-    the effective decay is 1.0, leaving the shadow untouched."""
+def _update_applied(new_opt_state, state: TrainState, ema_every: int):
+    """True iff the optimizer ACTUALLY applied a parameter update this
+    micro-step, read from the POST-update optimizer state (the engine
+    composes apply_if_finite OUTSIDE MultiSteps OUTSIDE the AdamW chain):
+
+    - `optax.ApplyIfFiniteState.last_finite` is False when the update was
+      rejected (skip_nonfinite_updates) -- nothing was applied;
+    - `optax.MultiStepsState.mini_step` wraps to 0 exactly when the
+      accumulated window's update was emitted; mid-window steps apply
+      nothing.
+
+    A rejected micro-batch defers the accumulation window by one, so a
+    step-counter gate (`(step+1) % every`) would permanently misalign the
+    EMA boundary with real updates after the first drop -- this reads the
+    truth instead.  Falls back to the step-counter cadence only when the
+    state exposes neither signal (custom optimizers without MultiSteps)."""
+    applied = None
+    s = new_opt_state
+    if isinstance(s, optax.ApplyIfFiniteState):
+        applied = s.last_finite
+        s = s.inner_state
+    if isinstance(s, optax.MultiStepsState):
+        wrapped = s.mini_step == 0
+        applied = wrapped if applied is None else applied & wrapped
+    elif applied is None:
+        applied = ((state.step + 1) % ema_every) == 0
+    return applied
+
+
+def _ema_update(cfg: TrainStepConfig, state: TrainState, new_trainable,
+                new_opt_state):
+    """Blend the EMA shadow toward the post-update params, once per REAL
+    optimizer update (see _update_applied): at micro-steps where no update
+    was applied (MultiSteps mid-window, apply_if_finite rejection) the
+    effective decay is 1.0, leaving the shadow untouched."""
     if cfg.ema_decay <= 0.0 or state.ema is None:
         return state.ema
-    at_boundary = ((state.step + 1) % cfg.ema_every) == 0
+    at_boundary = _update_applied(new_opt_state, state, cfg.ema_every)
     decay = jnp.where(at_boundary, cfg.ema_decay, 1.0)
     return jax.tree_util.tree_map(
         lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
@@ -283,9 +318,14 @@ def make_train_step(cfg: TrainStepConfig, optimizer):
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = {"loss": loss, **aux,
                    "grad_norm": optax.global_norm(grads)}
+        if isinstance(new_opt_state, optax.ApplyIfFiniteState):
+            # skip_nonfinite_updates observability: cumulative count of
+            # dropped micro-batches (logged by the engine)
+            metrics["notfinite_drops"] = new_opt_state.total_notfinite
         return TrainState(step=state.step + 1, trainable=new_trainable,
                           opt_state=new_opt_state, rng=rng,
-                          ema=_ema_update(cfg, state, new_trainable)), metrics
+                          ema=_ema_update(cfg, state, new_trainable,
+                                          new_opt_state)), metrics
 
     return train_step
 
@@ -331,9 +371,12 @@ def make_split_train_step(cfg: TrainStepConfig, optimizer):
                                                   state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
         metrics = {**losses, "grad_norm": optax.global_norm(grads)}
+        if isinstance(new_opt_state, optax.ApplyIfFiniteState):
+            metrics["notfinite_drops"] = new_opt_state.total_notfinite
         return TrainState(step=state.step + 1, trainable=new_trainable,
                           opt_state=new_opt_state, rng=new_rng,
-                          ema=_ema_update(cfg, state, new_trainable)), metrics
+                          ema=_ema_update(cfg, state, new_trainable,
+                                          new_opt_state)), metrics
 
     # donate only the state: its leaves (trainable + opt moments + step +
     # rng) pair 1:1 with the new TrainState's outputs; donating the grad

@@ -27,13 +27,19 @@ class OneInFlight:
         self._thread = None
         self._exc = None
 
-    def submit(self, fn, *args, **kwargs):
+    def submit(self, fn, *args, context: str = None, **kwargs):
+        """`context` labels the task (e.g. "checkpoint-500 pipeline save"):
+        because a failure only re-raises at the NEXT submit()/join() -- up to
+        one checkpoint interval later -- the note pins the traceback to the
+        step whose write actually failed."""
         self.join()
 
         def _run():
             try:
                 fn(*args, **kwargs)
             except BaseException as e:  # re-raised on the caller thread
+                if context:
+                    e.add_note(f"(background task: {context})")
                 self._exc = e
 
         self._thread = threading.Thread(target=_run, name=self._name)

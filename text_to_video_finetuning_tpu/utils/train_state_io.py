@@ -11,10 +11,15 @@ same Adam moments, same RNG stream.
 
 from __future__ import annotations
 
+import dataclasses
+import logging
 import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger("t2v_tpu")
 
 
 _STATE_SUBDIR = "train_state"
@@ -83,10 +88,54 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
     `abstract_state` is a freshly-initialized TrainState with the same tree
     structure (its array values supply shapes/dtypes/shardings to restore
     into -- pass the real initialized state; values are replaced).
+
+    The `ema` field makes checkpoints saved with use_ema on/off have
+    different tree structures; rather than surfacing orbax's opaque
+    structure-mismatch error, a presence mismatch is bridged explicitly
+    (ADVICE r3):
+    - checkpoint WITHOUT ema, resuming with use_ema=True: the EMA shadow is
+      seeded from the restored trainable params (a fresh EMA start);
+    - checkpoint WITH ema, resuming with use_ema=False: the stored shadow
+      is dropped (the ema always mirrors the trainable tree, so it restores
+      against that structure and is discarded).
     """
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(checkpoint_dir, _STATE_SUBDIR))
-    template = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
-                                      abstract_state)
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, template)
+
+    def _restore(template_state):
+        template = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          template_state)
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(path, template)
+
+    try:
+        return _restore(abstract_state)
+    except Exception as exc:
+        want_ema = getattr(abstract_state, "ema", None) is not None
+        try:
+            if want_ema:
+                restored = _restore(dataclasses.replace(abstract_state,
+                                                        ema=None))
+                restored = dataclasses.replace(
+                    restored,
+                    ema=jax.tree_util.tree_map(jnp.copy, restored.trainable))
+                logger.warning(
+                    f"checkpoint {path} was saved without an EMA shadow "
+                    "(use_ema was off); seeding the EMA from the restored "
+                    "trainable params")
+            else:
+                restored = _restore(dataclasses.replace(
+                    abstract_state, ema=abstract_state.trainable))
+                restored = dataclasses.replace(restored, ema=None)
+                logger.warning(
+                    f"checkpoint {path} contains an EMA shadow but use_ema "
+                    "is off for this run; the stored shadow is discarded")
+        except Exception:
+            raise RuntimeError(
+                f"failed to restore the train state at {path}: the tree "
+                "structure does not match the current run's TrainState "
+                "(and it is not a use_ema on/off mismatch, which would be "
+                "bridged automatically). Keep optimizer/accumulation/LoRA "
+                "settings consistent with the run that wrote the "
+                "checkpoint.") from exc
+        return restored
