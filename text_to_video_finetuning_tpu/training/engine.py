@@ -649,6 +649,15 @@ def main(**kwargs):
         window_losses = []
         pending_losses = []   # buffered (global_step, device loss scalar)
         t_start = time.time()
+        # lazy CLIP scorer for validation_data.compute_clip_score; the
+        # config error surfaces before training starts, not at step N
+        clip_scorer = None
+        if (cfg.validation_data.get("compute_clip_score")
+                and not cfg.validation_data.get("clip_model_path")):
+            raise ValueError(
+                "validation_data.compute_clip_score requires "
+                "validation_data.clip_model_path (a local transformers "
+                "CLIPModel dir, e.g. openai/clip-vit-base-patch32)")
 
         # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
         # the reference has no tracing subsystem; here it is first-class)
@@ -845,6 +854,22 @@ def main(**kwargs):
                         export_to_video(frames[0], out_file,
                                         cfg.train_data.get("fps", 8))
                         logger.info(f"Saved a new sample to {out_file}")
+                        # opt-in quality metric beside the sample (the
+                        # reference's validation loop is eyeball-only,
+                        # reference train.py:908-958): CLIP-score the
+                        # sampled clip against its prompt
+                        if vd.get("compute_clip_score"):
+                            if clip_scorer is None:
+                                from ..eval import CLIPScorer
+                                clip_scorer = CLIPScorer(
+                                    vd["clip_model_path"])
+                            cs = clip_scorer.score_frames(frames[0], prompt)
+                            logger.info(
+                                f"clip_score={cs:.3f} at step {global_step} "
+                                f"({prompt[:60]!r})")
+                            if writer is not None:
+                                writer.add_scalar("clip_score", cs,
+                                                  global_step)
 
                     if global_step >= cfg.max_train_steps:
                         break
