@@ -16,7 +16,8 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
           remat_policy: str = "nothing", two_pass: bool = True,
           fused_groupnorm: bool = False, latent_hw=(32, 32),
           lora_branch: bool = True, batch: int = 1,
-          text_lora: bool = False, split: bool = False):
+          text_lora: bool = False, split: bool = False,
+          use_ema: bool = False, skip_nonfinite: int = 0):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -74,15 +75,24 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         lambda x: x.astype(jnp.bfloat16),
         {"unet": unet_params, "text": text_params})
     optimizer = get_optimizer(get_lr_schedule("constant", 5e-6, 0, 100))
+    if skip_nonfinite:
+        # same composition as the engine (engine.py): the guard wraps
+        # OUTSIDE so one NaN micro-gradient can't poison any state
+        import optax
+        optimizer = optax.apply_if_finite(
+            optimizer, max_consecutive_errors=skip_nonfinite)
     step_cfg = TrainStepConfig(
         unet=unet, text_encoder=clip, vae=None,
         scheduler=DDPMScheduler(SchedulerConfig()),
         unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
         lora_version="cloneofsimo",
         lora_branch=lora_branch,
-        cache_latents=True, use_offset_noise=False, two_pass=two_pass)
+        cache_latents=True, use_offset_noise=False, two_pass=two_pass,
+        ema_decay=0.9999 if use_ema else 0.0, ema_every=1)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
-                       opt_state=optimizer.init(trainable), rng=rng)
+                       opt_state=optimizer.init(trainable), rng=rng,
+                       ema=(jax.tree_util.tree_map(jnp.copy, trainable)
+                            if use_ema else None))
     batch_tree = {
         "pixel_values": jnp.zeros((batch, 4, frames, lh, lw),
                                   jnp.bfloat16),
@@ -230,6 +240,21 @@ def main():
         ("split-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto",
               remat_policy="conv_attn_dense+skiplow3", split=True)),
+        # production knobs at the 256px headline workload (VERDICT r3
+        # weak#2): EMA shadow (doubles trainable-tree HBM, one extra blend
+        # over the LoRA tree) and the apply_if_finite guard (a global
+        # isfinite reduction over the grads) -- measured deltas vs the
+        # headline row in RESULTS.md
+        ("ema-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3", use_ema=True)),
+        ("guard-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3", skip_nonfinite=3)),
+        ("ema-guard-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto",
+              remat_policy="conv_attn_dense+skiplow3", use_ema=True,
+              skip_nonfinite=3)),
         ("hires8-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", frames=8,
               latent_hw=(40, 72),
