@@ -153,15 +153,19 @@ def http_mode(args):
             if no_batch and conc == 1:
                 continue   # identical to the coalesced singleton
             label = f"conc{conc}" + ("_no_batch" if no_batch else "")
-            latencies, coalesced = [], []
+            latencies, coalesced, errors = [], [], []
             t_all = time.perf_counter()
             for wave in range(waves):
                 bodies = [None] * conc
                 def call(i):
                     t = time.perf_counter()
-                    bodies[i] = post(dict(
-                        sig, prompt=f"wave {wave} client {i}",
-                        no_batch=no_batch))
+                    try:
+                        bodies[i] = post(dict(
+                            sig, prompt=f"wave {wave} client {i}",
+                            no_batch=no_batch))
+                    except Exception as e:  # surface the real HTTP failure
+                        errors.append(f"wave {wave} client {i}: {e}")
+                        return
                     latencies.append(time.perf_counter() - t)
                 threads = [threading.Thread(target=call, args=(i,))
                            for i in range(conc)]
@@ -169,6 +173,9 @@ def http_mode(args):
                     t.start()
                 for t in threads:
                     t.join()
+                if errors:
+                    raise RuntimeError(
+                        f"{label}: request failures: {errors}")
                 coalesced += [b["coalesced"] for b in bodies]
             wall = time.perf_counter() - t_all
             vids_per_min = waves * conc / wall * 60.0

@@ -159,7 +159,8 @@ def test_scorer_and_eval_cli(tiny_clip_model_dir, tmp_path):
     import torch
 
     from text_to_video_finetuning_tpu.eval import CLIPScorer
-    from text_to_video_finetuning_tpu.eval.clip_score import main as eval_main
+    from text_to_video_finetuning_tpu.eval.clip_score import main as eval_exit
+    from text_to_video_finetuning_tpu.eval.clip_score import run as eval_main
 
     def write_mp4(path, seed, frames=6):
         w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 8,
@@ -217,6 +218,24 @@ def test_scorer_and_eval_cli(tiny_clip_model_dir, tmp_path):
     with open(json_out) as f:
         blob = json.load(f)
     assert blob["mean_clip_score"] == pytest.approx(mean)
+    # the console script wraps main() in sys.exit(): all-scored -> status 0
+    assert eval_exit(["--clip_model", tiny_clip_model_dir,
+                      "--video_dir", str(d)]) == 0
+
+    # a corrupt clip yields a per-clip error record (and exit status 1),
+    # not an aborted run
+    bad = str(d / "truncated.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"\x00\x01not-an-mp4")
+    with open(str(d / "truncated.txt"), "w") as f:
+        f.write("a prompt")
+    records_bad, _ = eval_main(["--clip_model", tiny_clip_model_dir,
+                                "--video_dir", str(d)])
+    by_bad = {os.path.basename(r["video"]): r for r in records_bad}
+    assert "error" in by_bad["truncated.mp4"]
+    assert "clip_score" in by_bad["a.mp4"]   # good clips still scored
+    os.remove(bad)
+    os.remove(str(d / "truncated.txt"))
 
     # prompts_file map wins over conventions; missing prompt -> error rec
     pf = str(tmp_path / "prompts.json")
@@ -265,3 +284,14 @@ def test_engine_logs_clip_score(tiny_pipeline_dir, tiny_video,
                              compute_clip_score=True))
     with pytest.raises(ValueError, match="clip_model_path"):
         main(**bad)
+
+    # an unusable dir (no config.json) also fails NOW, not at step N
+    empty = tmp_path / "not_a_clip_model"
+    empty.mkdir()
+    bad2 = _base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        output_dir=str(tmp_path / "out3"),
+        validation_data=dict(sample_preview=True, compute_clip_score=True,
+                             clip_model_path=str(empty)))
+    with pytest.raises(ValueError, match="config.json"):
+        main(**bad2)

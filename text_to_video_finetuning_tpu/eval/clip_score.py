@@ -134,7 +134,12 @@ def evaluate_directory(model_dir: str, videos: Sequence[str],
         if prompt is None:
             records.append({"video": path, "error": "no prompt resolved"})
             continue
-        score = scorer.score_video(path, prompt, max_frames=max_frames)
+        try:
+            score = scorer.score_video(path, prompt, max_frames=max_frames)
+        except Exception as e:   # one unreadable clip must not void the run
+            records.append({"video": path, "prompt": prompt,
+                            "error": f"{type(e).__name__}: {e}"})
+            continue
         records.append({"video": path, "prompt": prompt,
                         "clip_score": round(score, 4)})
     scored = [r["clip_score"] for r in records if "clip_score" in r]
@@ -142,7 +147,7 @@ def evaluate_directory(model_dir: str, videos: Sequence[str],
     return records, mean
 
 
-def main(argv: Optional[Sequence[str]] = None):
+def run(argv: Optional[Sequence[str]] = None) -> Tuple[List[Dict], float]:
     """t2v-eval: CLIP-score a set of generated clips.
 
     Examples:
@@ -197,5 +202,14 @@ def main(argv: Optional[Sequence[str]] = None):
     return records, mean
 
 
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """Console-script entry (pyproject `t2v-eval`): setuptools wraps this in
+    `sys.exit(main())`, so it must return a process status, not data --
+    0 when every clip scored, 1 when any clip errored."""
+    records, _ = run(argv)
+    return 0 if all("clip_score" in r for r in records) else 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    sys.exit(main())

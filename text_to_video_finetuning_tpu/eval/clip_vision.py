@@ -207,11 +207,13 @@ def _text_config_from_dict(cfg: Dict[str, Any]) -> CLIPTextConfig:
     )
 
 
-def _convert_tower(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
-    """Map one tower's torch keys (text_model.* / vision_model.*) to a flax
-    params subtree.  Same layout rules as utils/torch_names.py: Linear
-    weight transposed, Conv to HWIO, norms weight->scale, Embed
-    weight->embedding; `class_embedding` is a bare torch Parameter."""
+def _convert_vision_tower(sd: Dict[str, np.ndarray], prefix: str) -> Dict:
+    """Map the VISION tower's torch keys (vision_model.*) to a flax params
+    subtree.  The text tower delegates to utils/checkpoint.state_dict_to_flax
+    (one converter to keep in sync); only the vision-specific bits live
+    here: patchify conv to HWIO and the bare `class_embedding` Parameter.
+    Layout rules otherwise match utils/torch_names.py (Linear weight
+    transposed, norms weight->scale, Embed weight->embedding)."""
     from flax.traverse_util import unflatten_dict
     flat = {}
     for key, arr in sd.items():
@@ -271,12 +273,16 @@ def load_clip_model(model_dir: str) -> Tuple[CLIPDualEncoder, Dict]:
     vision_cfg = load_clip_vision_config(cfg["vision_config"])
     text_cfg = _text_config_from_dict(cfg["text_config"])
 
-    from ..utils.checkpoint import _read_state_dict
+    from ..utils.checkpoint import _read_state_dict, state_dict_to_flax
     sd = _read_state_dict(model_dir)
 
     params = {
-        "vision_model": _convert_tower(sd, "vision_model."),
-        "text_model": _convert_tower(sd, "text_model."),
+        "vision_model": _convert_vision_tower(sd, "vision_model."),
+        # the text tower is exactly models/clip_text.py's tree: reuse the
+        # pipeline converter rather than a parallel key-mapping
+        "text_model": state_dict_to_flax(
+            {k: v for k, v in sd.items() if k.startswith("text_model.")},
+            "text_encoder"),
         "visual_projection": {"kernel": sd["visual_projection.weight"].T},
         "text_projection": {"kernel": sd["text_projection.weight"].T},
         "logit_scale": sd["logit_scale"],

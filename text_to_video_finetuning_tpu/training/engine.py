@@ -652,12 +652,20 @@ def main(**kwargs):
         # lazy CLIP scorer for validation_data.compute_clip_score; the
         # config error surfaces before training starts, not at step N
         clip_scorer = None
-        if (cfg.validation_data.get("compute_clip_score")
-                and not cfg.validation_data.get("clip_model_path")):
-            raise ValueError(
-                "validation_data.compute_clip_score requires "
-                "validation_data.clip_model_path (a local transformers "
-                "CLIPModel dir, e.g. openai/clip-vit-base-patch32)")
+        if cfg.validation_data.get("compute_clip_score"):
+            clip_dir = cfg.validation_data.get("clip_model_path")
+            if not clip_dir:
+                raise ValueError(
+                    "validation_data.compute_clip_score requires "
+                    "validation_data.clip_model_path (a local transformers "
+                    "CLIPModel dir, e.g. openai/clip-vit-base-patch32)")
+            # the scorer itself is built lazily at the first validation
+            # step; a missing/unusable dir must still fail NOW, not hours in
+            if not os.path.isfile(os.path.join(clip_dir, "config.json")):
+                raise ValueError(
+                    f"validation_data.clip_model_path={clip_dir!r} is not a "
+                    "transformers CLIPModel dir (no config.json); download "
+                    "one locally first (see README, quality evaluation)")
 
         # step-time/MFU meter + optional jax.profiler capture (SURVEY §5.1:
         # the reference has no tracing subsystem; here it is first-class)
@@ -894,10 +902,21 @@ def main(**kwargs):
             raise
 
         # join any in-flight async writes before the run returns (a caller
-        # may immediately re-open the checkpoint dir to resume)
-        pipe_saver.join()
-        state_saver.wait()
-        state_saver.close()
+        # may immediately re-open the checkpoint dir to resume).  A join
+        # error (a failed background pipeline save) must not abandon the
+        # other saver mid-write: close everything, then re-raise the first
+        # failure.
+        shutdown_exc = None
+        for closer in (pipe_saver.join, state_saver.wait, state_saver.close):
+            try:
+                closer()
+            except BaseException as e:
+                if shutdown_exc is None:
+                    shutdown_exc = e
+                else:
+                    logger.warning(f"async saver shutdown error: {e}")
+        if shutdown_exc is not None:
+            raise shutdown_exc
         if is_main:
             params_now, lora_now = current_params()
             save_pipe(cfg, output_dir, global_step,

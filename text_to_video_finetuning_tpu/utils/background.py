@@ -38,9 +38,10 @@ class OneInFlight:
             try:
                 fn(*args, **kwargs)
             except BaseException as e:  # re-raised on the caller thread
-                if context:
-                    e.add_note(f"(background task: {context})")
+                # capture FIRST: labeling must never lose the failure
                 self._exc = e
+                if context and hasattr(e, "add_note"):  # 3.11+; 3.10 skips
+                    e.add_note(f"(background task: {context})")
 
         self._thread = threading.Thread(target=_run, name=self._name)
         self._thread.start()
