@@ -120,7 +120,12 @@ def http_mode(args):
     import threading
     import urllib.request
 
-    from text_to_video_finetuning_tpu.serving.server import T2VServer
+    from text_to_video_finetuning_tpu.serving.server import (
+        GenerationRequest, T2VServer)
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+
+    enable_persistent_compile_cache()
 
     out_dir = tempfile.mkdtemp(prefix="t2v_serve_bench_out_")
     server = T2VServer(model="<in-memory ms-1.7b-geometry random>",
@@ -147,6 +152,20 @@ def http_mode(args):
     print(f"cold start (compile + first video): {cold_s:.1f}s")
 
     results = {"cold_start_s": round(cold_s, 1)}
+
+    # warm every coalesced batch shape the measurement will form — each
+    # batch size is its own XLA program, and an unwarmed shape's compile
+    # lands on the first coalesced wave and dominates the numbers (the
+    # production server does this via --warmup-batch-sizes)
+    warm_req = GenerationRequest(
+        prompt="warmup", width=args.width, height=args.height,
+        num_frames=args.frames, num_steps=args.steps, guidance_scale=9.0)
+    for b in sorted({c for c in args.concurrency if c > 1}):
+        t0 = time.perf_counter()
+        server.warmup(warm_req, batch_sizes=[b])
+        dt = time.perf_counter() - t0
+        results[f"warm_shape_B{b}_s"] = round(dt, 1)
+        print(f"warm batch shape B={b}: {dt:.1f}s")
     waves = 3
     for conc in args.concurrency:
         for no_batch in (False, True):

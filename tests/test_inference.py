@@ -190,3 +190,29 @@ def test_init_video_img2img(tiny_pipeline_dir):
                   rotate=False, seed=0)
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mesh_sharded_generate_matches_single_device(tiny_pipeline_dir):
+    """Multi-chip sampling must be numerically equivalent to single-device:
+    mesh dp2×tp2×sp2 shards the CFG pair over 'dp', frames over 'sp', and
+    the attention projections over 'tp' (parallel/sharding.py rules — the
+    same ones the train step uses). Exercises the windowed scan sampler
+    (window < frames, prime rotation over the sharded frame axis) and the
+    single-dispatch sharded VAE decode. Beyond the reference: its
+    inference is single-GPU only (reference inference.py:336-435)."""
+    from text_to_video_finetuning_tpu.parallel import make_mesh, MeshConfig
+    from text_to_video_finetuning_tpu.pipelines.inference import (
+        generate, initialize_pipeline)
+
+    kw = dict(width=32, height=32, num_frames=4, window_size=2,
+              num_steps=3, guidance_scale=7.5, seed=11)
+    pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
+    ref = generate(pipe, "a cat on a hill", **kw)
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=2, sp=2))
+    pipe_m = initialize_pipeline(tiny_pipeline_dir, half=False, mesh=mesh)
+    out = generate(pipe_m, "a cat on a hill", **kw)
+
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)

@@ -176,3 +176,29 @@ def test_remat_policies_match_no_remat_grads(policy):
                                                 np.asarray(b),
                                                 atol=1e-5, rtol=1e-4),
         g_ref, g_rem)
+
+
+def test_mesh_from_string_parses_and_rejects():
+    """CLI mesh syntax for t2v-inference/t2v-serve --mesh: axis=N pairs
+    build a Mesh over the virtual devices; typos fail fast with the valid
+    axis set; empty means single-device (None)."""
+    from text_to_video_finetuning_tpu.parallel import mesh_from_string
+
+    mesh = mesh_from_string("dp=2, sp=4")
+    assert dict(mesh.shape) == {"dp": 2, "fsdp": 1, "tp": 1, "sp": 4}
+    # omitted dp absorbs the remaining devices
+    mesh = mesh_from_string("sp=2")
+    assert dict(mesh.shape) == {"dp": 4, "fsdp": 1, "tp": 1, "sp": 2}
+    # fully explicit spec smaller than the host uses a device subset
+    mesh = mesh_from_string("dp=2,sp=2")
+    assert mesh.devices.size == 4
+    assert mesh_from_string("") is None
+    assert mesh_from_string("  ") is None
+    with pytest.raises(ValueError, match="bad mesh spec"):
+        mesh_from_string("dq=2")
+    with pytest.raises(ValueError, match="bad mesh spec"):
+        mesh_from_string("dp")
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        mesh_from_string("dp=16")
+    with pytest.raises(AssertionError):
+        mesh_from_string("sp=3")   # 8 devices not divisible by sp=3

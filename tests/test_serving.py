@@ -145,6 +145,37 @@ def test_worker_isolates_errors_per_batch():
         w.shutdown()
 
 
+def test_warmup_precompiles_each_batch_shape(tmp_path):
+    """warmup(batch_sizes=...) must dispatch exactly one batch per distinct
+    size (ascending, deduped, clamped to max_batch), bypassing the gather
+    window — each batch size is its own XLA program, and an unwarmed shape
+    compiles mid-traffic (benchmarks/RESULTS.md round 4)."""
+    from text_to_video_finetuning_tpu.serving import T2VServer
+
+    server = T2VServer(model="<fake>", port=0, output_dir=str(tmp_path),
+                       max_batch=4, pipe=object())
+    sizes = []
+
+    def fake_generate(pipe, prompts, **kwargs):
+        sizes.append(len(prompts))
+        return [np.zeros((3, 2, 8, 8), np.float32)] * len(prompts)
+
+    server._generate = fake_generate
+    try:
+        req = GenerationRequest(prompt="warmup", num_frames=8, num_steps=2)
+        out = server.warmup(req, batch_sizes=(4, 2, 0, 2, 8))
+        assert out is req
+        assert sizes == [1, 2, 4]   # 0 -> clamp 1; 8 -> max_batch; deduped
+        # the worker saw none of it: warmup bypasses the batching queue
+        assert server.worker.snapshot()["requests"] == 0
+        # default: one batch-1 dispatch at the server's default signature
+        sizes.clear()
+        d = server.warmup()
+        assert sizes == [1] and d.num_steps == 25 and d.num_frames == 16
+    finally:
+        server.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # End-to-end HTTP over the tiny pipeline (compiles the scan sampler: slow)
 # ---------------------------------------------------------------------------
@@ -156,7 +187,7 @@ def test_serve_http_end_to_end(tiny_pipeline_dir, tmp_path):
     server = T2VServer(model=str(tiny_pipeline_dir), port=0,
                        output_dir=str(tmp_path / "out"), max_batch=2,
                        batch_window_ms=1000, request_timeout_s=600)
-    thread = threading.Thread(target=server.httpd.serve_forever, daemon=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     base = f"http://{server.host}:{server.port}"
 

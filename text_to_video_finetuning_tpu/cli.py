@@ -17,6 +17,15 @@ from uuid import uuid4
 import numpy as np
 
 
+def _mesh_arg(spec: str):
+    """'dp=2,sp=4' -> a jax Mesh (None for empty spec) — shared by the
+    inference and serve CLIs' --mesh flag."""
+    if not (spec or "").strip():
+        return None
+    from text_to_video_finetuning_tpu.parallel import mesh_from_string
+    return mesh_from_string(spec)
+
+
 def train_main(argv=None):
     """`python train.py --config <yaml>` (reference train.py:986-991: the
     YAML's keys are the engine's kwargs)."""
@@ -175,10 +184,24 @@ def serve_main(argv=None):
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip the startup compile of the default "
                              "sampler signature")
+    parser.add_argument("--warmup-batch-sizes", type=int, nargs="+",
+                        default=[1],
+                        help="batch shapes to precompile at startup; the "
+                             "sampler is one XLA program per batch size, so "
+                             "coalesced sizes not warmed here compile on "
+                             "their first unlucky request (pass e.g. 1 2 4 "
+                             "to match --max-batch)")
+    parser.add_argument("--warmup-width", type=int, default=256)
+    parser.add_argument("--warmup-height", type=int, default=256)
+    parser.add_argument("--warmup-frames", type=int, default=16)
+    parser.add_argument("--warmup-steps", type=int, default=25)
     parser.add_argument("-lP", "--lora_path", type=str, default="")
     parser.add_argument("-lR", "--lora_rank", type=int, default=64)
     parser.add_argument("-lS", "--lora_scale", type=float, default=1.0)
     parser.add_argument("--no-fused-attention", action="store_true")
+    parser.add_argument("--mesh", type=str, default="",
+                        help="multi-chip sampling mesh, e.g. 'sp=4' or "
+                             "'dp=2,sp=4' (see t2v-inference --mesh)")
     args = parser.parse_args(argv)
 
     from text_to_video_finetuning_tpu.utils.compile_cache import (
@@ -193,13 +216,25 @@ def serve_main(argv=None):
         use_fused_attention=not args.no_fused_attention,
         lora_path=args.lora_path, lora_rank=args.lora_rank,
         lora_scale=args.lora_scale,
-        request_timeout_s=args.request_timeout_s)
+        request_timeout_s=args.request_timeout_s,
+        mesh=_mesh_arg(args.mesh))
     if not args.no_warmup:
+        import time as _time
+
+        from text_to_video_finetuning_tpu.serving.server import (
+            GenerationRequest)
         print("Warming up the sampler (first TPU compile is slow; the "
               "persistent compile cache makes restarts fast)...")
-        req = server.warmup()
-        print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
-              f"{req.num_steps} steps.")
+        req = GenerationRequest(
+            prompt="warmup", width=args.warmup_width,
+            height=args.warmup_height, num_frames=args.warmup_frames,
+            num_steps=args.warmup_steps)
+        for b in sorted(set(args.warmup_batch_sizes)):
+            t0 = _time.perf_counter()
+            server.warmup(req, batch_sizes=[b])
+            print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
+                  f"{req.num_steps} steps, batch {b} "
+                  f"({_time.perf_counter() - t0:.1f}s).")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
@@ -240,6 +275,11 @@ def build_inference_parser():
     parser.add_argument("-rw", "--remove-watermark", action="store_true")
     parser.add_argument("-l", "--loop", action="store_true")
     parser.add_argument("-r", "--seed", type=int, default=None)
+    parser.add_argument("--mesh", type=str, default="",
+                        help="multi-chip sampling mesh, e.g. 'dp=2,sp=4' "
+                             "(CFG pair over dp, frames over sp, params "
+                             "over tp/fsdp; beyond the reference's "
+                             "single-GPU inference)")
     return parser
 
 
@@ -280,7 +320,7 @@ def inference_main(argv=None):
         use_fused_attention=args.xformers or args.sdp,
         lora_path=args.lora_path, lora_rank=args.lora_rank,
         lora_scale=args.lora_scale, loop=args.loop,
-        seed=args.seed)
+        seed=args.seed, mesh=_mesh_arg(args.mesh))
 
     os.makedirs(args.output_dir, exist_ok=True)
     for video in videos:                                # (C, F, H, W) [-1,1]

@@ -46,3 +46,36 @@ def make_mesh(config: MeshConfig = MeshConfig(),
         f"mesh {dp}x{config.fsdp}x{config.tp}x{config.sp} != {n} devices")
     arr = np.asarray(devices).reshape(dp, config.fsdp, config.tp, config.sp)
     return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))
+
+
+def mesh_from_string(spec: str, devices=None) -> Optional[Mesh]:
+    """CLI mesh syntax: 'dp=2,sp=4' -> make_mesh(MeshConfig(dp=2, sp=4)).
+    Empty/whitespace spec -> None (single-device).  Unknown axis names
+    raise with the valid set so a typo fails before any model load.
+    An omitted dp absorbs all remaining devices (MeshConfig.dp=-1); a
+    fully explicit spec smaller than the host's device count uses the
+    first product-many devices (e.g. 'dp=2,sp=2' on 8 chips runs on 4)."""
+    spec = (spec or "").replace(" ", "")
+    if not spec:
+        return None
+    valid = {f.name for f in dataclasses.fields(MeshConfig)}
+    kwargs = {}
+    for part in spec.split(","):
+        if not part:
+            continue
+        name, eq, val = part.partition("=")
+        if name not in valid or not eq:
+            raise ValueError(
+                f"bad mesh spec {part!r}: expected axis=N with axis in "
+                f"{sorted(valid)} (e.g. 'dp=2,sp=4')")
+        kwargs[name] = int(val)
+    devices = list(devices) if devices is not None else list(jax.devices())
+    if kwargs.get("dp", -1) != -1:
+        need = int(np.prod([kwargs.get(f.name, 1)
+                            for f in dataclasses.fields(MeshConfig)]))
+        if need > len(devices):
+            raise ValueError(
+                f"mesh spec {spec!r} needs {need} devices, "
+                f"have {len(devices)}")
+        devices = devices[:need]
+    return make_mesh(MeshConfig(**kwargs), devices=devices)

@@ -29,10 +29,12 @@ from .text_to_video import TextToVideoSDPipeline
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "unet", "prediction_type", "order", "window_size", "cfg"))
+    "unet", "prediction_type", "order", "window_size", "cfg",
+    "act_sharding"))
 def _scan_windowed_denoise(params, latents, buffer, embeds, gs, ts, coeffs,
                            shifts, lons, hist_idx, write_idx, *, unet,
-                           prediction_type, order, window_size, cfg):
+                           prediction_type, order, window_size, cfg,
+                           act_sharding=None):
     """The whole windowed round-robin denoise loop as ONE compiled lax.scan
     (vs the reference's nested host loops, inference.py:202-258): windows
     unroll statically inside the scan body; frame-axis rotation and the
@@ -54,6 +56,11 @@ def _scan_windowed_denoise(params, latents, buffer, embeds, gs, ts, coeffs,
                 model_outputs=hist[:, :, :, w0:w0 + window_size],
                 lower_order_nums=lon)
             latent_in = jnp.concatenate([window] * 2) if cfg else window
+            if act_sharding is not None:
+                # multi-chip: CFG pair over 'dp', window frames over 'sp'
+                # (see text_to_video._scan_denoise's act_sharding note)
+                latent_in = jax.lax.with_sharding_constraint(latent_in,
+                                                             act_sharding)
             pred = unet.apply({"params": params}, latent_in,
                               jnp.full((latent_in.shape[0],), t), embeds)
             pred = pred.astype(jnp.float32)
@@ -152,14 +159,18 @@ def diffuse(pipe: TextToVideoSDPipeline,
              for i in range(n)], np.int32)
         write_idx = (np.arange(n) % order).astype(np.int32)
         buffer = jnp.zeros((order,) + latents.shape, jnp.float32)
+        latents, embeds = pipe.place_sampler_inputs(
+            latents.astype(jnp.float32), embeds)
+        unet_batch = batch_size * (2 if do_cfg else 1)
         return _scan_windowed_denoise(
-            pipe.unet_params, latents.astype(jnp.float32), buffer, embeds,
+            pipe.unet_params, latents, buffer, embeds,
             jnp.float32(guidance_scale), jnp.asarray(timesteps, jnp.int32),
             scheduler.scan_coeffs(), jnp.asarray(shift_arr),
             jnp.asarray(lons), jnp.asarray(hist_idx),
             jnp.asarray(write_idx), unet=pipe.unet,
             prediction_type=scheduler.config.prediction_type,
-            order=order, window_size=window_size, cfg=do_cfg)
+            order=order, window_size=window_size, cfg=do_cfg,
+            act_sharding=pipe.sampler_sharding(unet_batch, window_size))
 
     for i, t in enumerate(timesteps):
         if rotate:

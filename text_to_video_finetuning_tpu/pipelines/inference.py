@@ -28,11 +28,13 @@ from .text_to_video import TextToVideoSDPipeline
 
 def initialize_pipeline(model: str, use_fused_attention: bool = True,
                         lora_path: str = "", lora_rank: int = 64,
-                        half: bool = True,
-                        lora_scale: float = 1.0) -> TextToVideoSDPipeline:
+                        half: bool = True, lora_scale: float = 1.0,
+                        mesh=None) -> TextToVideoSDPipeline:
     """reference inference.py:47-78.  `lora_scale` is the runtime alpha of
     `tune_lora_scale` (reference utils/lora.py:1077-1081): 0 disables the
-    LoRA entirely, 1 applies it at trained strength."""
+    LoRA entirely, 1 applies it at trained strength.  `mesh` (a jax Mesh,
+    e.g. `parallel.mesh_from_string("dp=2,sp=4")`) turns on multi-chip
+    sampling — beyond the reference, whose inference is single-GPU."""
     from transformers import CLIPTokenizer
     scheduler_config = ckpt.load_scheduler_config(
         os.path.join(model, "scheduler"))
@@ -119,7 +121,7 @@ def initialize_pipeline(model: str, use_fused_attention: bool = True,
     return TextToVideoSDPipeline(
         unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
         text_encoder=text_encoder, text_params=text_params,
-        tokenizer=tokenizer, scheduler_config=scheduler_config)
+        tokenizer=tokenizer, scheduler_config=scheduler_config, mesh=mesh)
 
 
 def load_init_video(path: str, height: int, width: int,
@@ -212,10 +214,10 @@ def inference(model: str, prompt, negative_prompt=None, width: int = 256,
               init_weight: float = 0.5, use_fused_attention: bool = True,
               lora_path: str = "", lora_rank: int = 64,
               lora_scale: float = 1.0, loop: bool = False,
-              seed: Optional[int] = None) -> np.ndarray:
+              seed: Optional[int] = None, mesh=None) -> np.ndarray:
     """reference inference.py:270-333. Returns (B, C, F, H, W) float."""
     pipe = initialize_pipeline(model, use_fused_attention, lora_path,
-                               lora_rank, lora_scale=lora_scale)
+                               lora_rank, lora_scale=lora_scale, mesh=mesh)
     return generate(pipe, prompt, negative_prompt=negative_prompt,
                     width=width, height=height, num_frames=num_frames,
                     window_size=window_size, vae_batch_size=vae_batch_size,

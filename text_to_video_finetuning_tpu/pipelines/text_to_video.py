@@ -30,16 +30,29 @@ from ..schedulers.dpmsolver import (DPMSolverMultistepScheduler,
 
 
 @functools.partial(jax.jit, static_argnames=("unet", "prediction_type",
-                                             "solver_order", "cfg"))
+                                             "solver_order", "cfg",
+                                             "act_sharding"))
 def _scan_denoise(params, latents, state, embeds, gs, ts, coeffs, *,
-                  unet, prediction_type, solver_order, cfg):
+                  unet, prediction_type, solver_order, cfg,
+                  act_sharding=None):
     """One compiled dispatch for the whole denoise loop.  `unet` (a frozen
-    flax module) and the scheduler statics key the jit cache."""
+    flax module) and the scheduler statics key the jit cache.
+
+    act_sharding (an optional NamedSharding over the (2B, C, F, h, w)
+    UNet input) turns this into a MULTI-CHIP sampler: the CFG pair shards
+    over 'dp' (uncond and cond branches run on disjoint device groups) and
+    frames over 'sp'; XLA inserts the all-to-alls at the spatial<->temporal
+    module boundaries and the cross-'dp' gather at the guidance combine.
+    The reference has no distributed inference at all (its inference.py is
+    single-GPU); see parallel/sharding.py for the param rules."""
 
     def body(carry, xs):
         lat, st = carry
         t, ci = xs
         latent_in = jnp.concatenate([lat] * 2) if cfg else lat
+        if act_sharding is not None:
+            latent_in = jax.lax.with_sharding_constraint(latent_in,
+                                                         act_sharding)
         pred = unet.apply({"params": params}, latent_in,
                           jnp.full((latent_in.shape[0],), t), embeds)
         pred = pred.astype(jnp.float32)
@@ -65,8 +78,23 @@ class TextToVideoSDPipeline:
     tokenizer: object
     scheduler_config: SchedulerConfig
     vae_scale_factor: int = 8
+    # multi-chip inference: a jax Mesh with any of the training axes
+    # ('dp','fsdp','tp','sp').  dp shards the CFG pair / request batch,
+    # sp the frame axis, tp/fsdp the UNet params (parallel/sharding.py
+    # rules — the same ones the train step uses).  None = single device.
+    # The reference's inference is single-GPU only (inference.py:336-435).
+    mesh: Optional[object] = None
 
     def __post_init__(self):
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_params
+            use_fsdp = self.mesh.shape.get("fsdp", 1) > 1
+            use_tp = self.mesh.shape.get("tp", 1) > 1
+            if use_fsdp or use_tp:
+                # the UNet dominates param bytes; text/VAE stay replicated
+                self.unet_params = shard_params(
+                    self.unet_params, self.mesh,
+                    use_fsdp=use_fsdp, use_tp=use_tp)
         self._encode_text = jax.jit(
             lambda params, ids: self.text_encoder.apply({"params": params},
                                                         ids))
@@ -88,6 +116,41 @@ class TextToVideoSDPipeline:
                                   sample=sample,
                                   method=AutoencoderKL.encode)
         self._vae_encode = _encode
+
+    # -- multi-chip placement -------------------------------------------------
+    def sampler_sharding(self, unet_batch: int, num_frames: int):
+        """NamedSharding for the in-loop UNet input (unet_batch includes
+        the CFG doubling), or None when off-mesh / nothing divides."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+        dp = self.mesh.shape.get("dp", 1)
+        sp = self.mesh.shape.get("sp", 1)
+        spec = [None, None, None]
+        if dp > 1 and unet_batch % dp == 0:
+            spec[0] = "dp"
+        if sp > 1 and num_frames % sp == 0:
+            spec[2] = "sp"
+        if spec == [None, None, None]:
+            return None
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def place_sampler_inputs(self, latents, embeds):
+        """Commit latents (frames over 'sp') and embeds (batch over 'dp')
+        before the sampler dispatch so jit sees sharded inputs instead of
+        host transfers of replicated copies."""
+        if self.mesh is None:
+            return latents, embeds
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sp = self.mesh.shape.get("sp", 1)
+        dp = self.mesh.shape.get("dp", 1)
+        if sp > 1 and latents.shape[2] % sp == 0:
+            latents = jax.device_put(
+                latents, NamedSharding(self.mesh, P(None, None, "sp")))
+        if dp > 1 and embeds.shape[0] % dp == 0:
+            embeds = jax.device_put(
+                embeds, NamedSharding(self.mesh, P("dp")))
+        return latents, embeds
 
     # -- prompts -------------------------------------------------------------
     def tokenize(self, prompts: List[str]) -> np.ndarray:
@@ -158,14 +221,23 @@ class TextToVideoSDPipeline:
 
     def decode_latents(self, latents, batch_size: int = 8):
         """latents (B, 4, F, h, w) -> pixels (B, 3, F, H, W) float32
-        (reference inference.py:124-140)."""
+        (reference inference.py:124-140).  On a mesh, frames decode
+        embarrassingly parallel in ONE dispatch sharded over all devices
+        (vae_batch_size micro-batching exists to bound single-device
+        memory; sharding bounds it by devices instead)."""
         b, c, f, h, w = latents.shape
         flat = jnp.transpose(latents, (0, 2, 1, 3, 4)).reshape(
             b * f, c, h, w) / self.vae.config.scaling_factor
-        outs = []
-        for i in range(0, flat.shape[0], batch_size):
-            outs.append(self._vae_decode(self.vae_params,
-                                         flat[i:i + batch_size]))
+        n_dev = 1 if self.mesh is None else int(np.prod(
+            [self.mesh.shape[a] for a in ("dp", "sp")]))
+        if n_dev > 1 and flat.shape[0] % n_dev == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            flat = jax.device_put(
+                flat, NamedSharding(self.mesh, P(("dp", "sp"))))
+            outs = [self._vae_decode(self.vae_params, flat)]
+        else:
+            outs = [self._vae_decode(self.vae_params, flat[i:i + batch_size])
+                    for i in range(0, flat.shape[0], batch_size)]
         px = jnp.concatenate(outs, axis=0)
         px = px.reshape(b, f, *px.shape[1:]).transpose(0, 2, 1, 3, 4)
         return px.astype(jnp.float32)
@@ -223,11 +295,15 @@ class TextToVideoSDPipeline:
         cached across calls/pipeline instances with the same unet config)."""
         coeffs = scheduler.scan_coeffs()
         ts = jnp.asarray(timesteps, jnp.int32)
+        unet_batch = latents.shape[0] * (2 if do_cfg else 1)
+        latents, embeds = self.place_sampler_inputs(latents, embeds)
         return _scan_denoise(
             self.unet_params, latents, state, embeds,
             jnp.float32(guidance_scale), ts, coeffs, unet=self.unet,
             prediction_type=scheduler.config.prediction_type,
-            solver_order=scheduler.solver_order, cfg=do_cfg)
+            solver_order=scheduler.solver_order, cfg=do_cfg,
+            act_sharding=self.sampler_sharding(unet_batch,
+                                               latents.shape[2]))
 
     @staticmethod
     def postprocess(video) -> List[np.ndarray]:

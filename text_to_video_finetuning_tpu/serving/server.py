@@ -37,7 +37,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
@@ -232,7 +232,7 @@ class T2VServer:
                  batch_window_ms: float = 50.0, use_fused_attention=True,
                  lora_path: str = "", lora_rank: int = 64,
                  lora_scale: float = 1.0, request_timeout_s: float = 3600.0,
-                 pipe=None):
+                 pipe=None, mesh=None):
         from ..pipelines.inference import generate, initialize_pipeline
         self.model = model
         self.output_dir = output_dir
@@ -240,13 +240,14 @@ class T2VServer:
         os.makedirs(output_dir, exist_ok=True)
         self.pipe = pipe if pipe is not None else initialize_pipeline(
             model, use_fused_attention, lora_path, lora_rank,
-            lora_scale=lora_scale)
+            lora_scale=lora_scale, mesh=mesh)
         self._generate = generate
         self.worker = BatchingWorker(self._run_batch, max_batch=max_batch,
                                      batch_window_ms=batch_window_ms)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self.httpd.server_address[:2]
+        self._serving = threading.Event()   # see shutdown()
 
     # -- generation --------------------------------------------------------
 
@@ -275,15 +276,24 @@ class T2VServer:
             init_weight=init_weight, loop=head.loop, seed=seed)
         return [np.asarray(v) for v in videos]
 
-    def warmup(self, request: Optional[GenerationRequest] = None):
-        """Compile the sampler at the default signature before accepting
-        traffic (full-model compiles are minutes on TPU; see README)."""
-        req = request or GenerationRequest(prompt="warmup", num_frames=8,
-                                           window_size=8, num_steps=2)
-        pending = self.worker.submit(req)
-        pending.done.wait(timeout=self.request_timeout_s)
-        if pending.error:
-            raise RuntimeError(f"warmup failed: {pending.error}")
+    def warmup(self, request: Optional[GenerationRequest] = None,
+               batch_sizes: Sequence[int] = (1,)):
+        """Compile the sampler before accepting traffic.
+
+        The scan sampler is one XLA program per (geometry, steps, BATCH)
+        signature, so the first coalesced batch of each size B pays a
+        fresh multi-minute full-model compile MID-TRAFFIC — measured at
+        ~3 min per shape on v5e, enough to invert the batching win
+        (benchmarks/RESULTS.md round 4). A production server should pay
+        those compiles at startup: pass the expected traffic signature
+        and every batch size the worker may form (typically 1..max_batch,
+        via `t2v-serve --warmup-batch-sizes`). Dispatches go straight to
+        `_run_batch`, bypassing the gather window, so each size compiles
+        exactly once and also warms the matching VAE-decode program."""
+        req = request or GenerationRequest(prompt="warmup")
+        for b in sorted({min(max(1, int(b)), self.worker.max_batch)
+                         for b in batch_sizes}):
+            self._run_batch([req] * b)
         return req
 
     # -- HTTP --------------------------------------------------------------
@@ -291,10 +301,16 @@ class T2VServer:
     def serve_forever(self):
         print(f"t2v-serve listening on http://{self.host}:{self.port} "
               f"(model={self.model})")
+        self._serving.set()
         self.httpd.serve_forever()
 
     def shutdown(self):
-        self.httpd.shutdown()
+        # httpd.shutdown() handshakes with a RUNNING serve_forever loop and
+        # blocks forever if the loop never started (e.g. a warmup failure
+        # before serving, or tests that only exercise the worker) — only
+        # signal it when the loop is live; close the socket regardless.
+        if self._serving.is_set():
+            self.httpd.shutdown()
         self.httpd.server_close()
         self.worker.shutdown()
 
