@@ -1089,3 +1089,57 @@ def test_per_sample_prompts_at_batch_size_2(tiny_pipeline_dir):
     assert not np.allclose(float(loss_a), float(loss_b)), (
         "sample 2's prompt was ignored -- the reference's token_ids[0] "
         "batch-collapse semantics leaked in")
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tiny_pipeline_dir,
+                                                    tiny_video, tmp_path):
+    """save_on_preemption (beyond the reference, which dies unsaved): a
+    SIGTERM mid-run must finish the in-flight step, write a resumable
+    checkpoint-<step>, still produce the final pipeline save, and return
+    cleanly; resume_from_checkpoint must accept the written checkpoint.
+    The signal is raised from the engine's own 'step 1' log record so the
+    trigger lands deterministically after the first optimizer update."""
+    import logging
+    import signal as signalmod
+
+    from text_to_video_finetuning_tpu.training.engine import main
+
+    fired = []
+
+    class _KillOnStep1(logging.Handler):
+        def emit(self, record):
+            if record.getMessage().startswith("step 1 ") and not fired:
+                fired.append(True)
+                os.kill(os.getpid(), signalmod.SIGTERM)
+
+    t2v_logger = logging.getLogger("t2v_tpu")
+    handler = _KillOnStep1()
+    t2v_logger.addHandler(handler)
+    prev_level = t2v_logger.level
+    t2v_logger.setLevel(logging.INFO)   # pytest may leave root at WARNING
+    try:
+        out_dir = main(**_base_config(
+            tiny_pipeline_dir, tiny_video, tmp_path,
+            max_train_steps=40, checkpointing_steps=1000, shuffle=False))
+    finally:
+        t2v_logger.removeHandler(handler)
+        t2v_logger.setLevel(prev_level)
+    assert fired, "the 'step 1' log record never appeared"
+    # stopped early, wrote a resumable checkpoint at the stop step
+    ckpts = sorted(glob.glob(os.path.join(out_dir, "checkpoint-*")))
+    assert len(ckpts) == 1, ckpts
+    step = int(os.path.basename(ckpts[0]).split("-")[1])
+    assert 1 <= step < 40
+    assert os.path.isdir(os.path.join(ckpts[0], "train_state"))
+    # the normal-return path still ran: final pipeline + config snapshot
+    assert os.path.exists(os.path.join(out_dir, "model_index.json"))
+    # the handler was restored (no stale reference into the finished run)
+    assert signalmod.getsignal(signalmod.SIGTERM) in (
+        signalmod.SIG_DFL, signalmod.default_int_handler)
+    # and the checkpoint actually resumes
+    out2 = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        output_dir=str(tmp_path / "out_resume"),
+        max_train_steps=step + 1, checkpointing_steps=1000,
+        shuffle=False, resume_from_checkpoint=ckpts[0]))
+    assert os.path.exists(os.path.join(out2, "model_index.json"))

@@ -46,6 +46,11 @@ class TrainConfig:
     gradient_checkpointing: bool = False
     text_encoder_gradient_checkpointing: bool = False
     checkpointing_steps: int = 500
+    # on SIGTERM (TPU-pod preemption notice) finish the in-flight step,
+    # write a resumable checkpoint-<step>, and exit cleanly (beyond the
+    # reference, which dies without saving; resume via
+    # resume_from_checkpoint as usual)
+    save_on_preemption: bool = True
     resume_from_checkpoint: Optional[str] = None
     resume_step: Optional[int] = None
     mixed_precision: Optional[str] = "bf16"   # fp16 requests map to bf16

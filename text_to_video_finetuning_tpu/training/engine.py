@@ -17,6 +17,8 @@ import logging
 import math
 import os
 import shutil
+import signal
+import threading
 import time
 from typing import Optional
 
@@ -716,13 +718,34 @@ def main(**kwargs):
         # async commit
         state_saver = train_state_io.AsyncTrainStateSaver()
         pipe_saver = OneInFlight(name="t2v-save-pipe")
+        # graceful preemption (save_on_preemption, beyond the reference):
+        # TPU-pod preemption delivers SIGTERM with a short grace window.
+        # The handler only flips an event; the loop finishes the in-flight
+        # step, writes a resumable checkpoint-<step>, and returns through
+        # the normal join/close path.  Ctrl-C (SIGINT) keeps Python's
+        # default abort semantics.  Handlers are installable only from the
+        # main thread (tests driving main() from worker threads skip this).
+        stop_event = threading.Event()
+        last_ckpt_step = -1
+        prev_sigterm = None
+
+        def _on_preempt(signum, frame):
+            logger.warning(
+                f"received signal {signum}: finishing the current step, "
+                "then checkpointing and stopping")
+            stop_event.set()
+
+        if (cfg.save_on_preemption
+                and threading.current_thread() is threading.main_thread()):
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_preempt)
         # join/close the async savers on EVERY exit path: if the loop
         # raises (data error, Ctrl-C, the empty-epoch ValueError), an
         # in-flight background write would otherwise never be joined, a
         # captured background-save exception silently lost, and the
         # orbax checkpointer never closed (ADVICE r3)
         try:
-            while global_step < cfg.max_train_steps:
+            while (global_step < cfg.max_train_steps
+                   and not stop_event.is_set()):
                 epoch_batches = 0
                 for step, batch in enumerate(train_dataloader):
                     epoch_batches += 1
@@ -820,6 +843,7 @@ def main(**kwargs):
                         prune_checkpoints(output_dir,
                                           cfg.checkpoints_total_limit,
                                           in_flight_step=global_step)
+                        last_ckpt_step = global_step
 
                     if is_main and should_sample(global_step,
                                                  cfg.validation_steps,
@@ -879,7 +903,8 @@ def main(**kwargs):
                                 writer.add_scalar("clip_score", cs,
                                                   global_step)
 
-                    if global_step >= cfg.max_train_steps:
+                    if (global_step >= cfg.max_train_steps
+                            or stop_event.is_set()):
                         break
                 epoch += 1
                 if epoch_batches == 0:
@@ -888,6 +913,27 @@ def main(**kwargs):
                         "(dataset smaller than the global batch size, or every "
                         "bucket below batch size); reduce train_batch_size or "
                         "enable extend_dataset")
+            if (stop_event.is_set() and is_main and global_step > 0
+                    and global_step != last_ckpt_step):
+                # the preemption checkpoint: resumable TrainState + the
+                # diffusers pipeline snapshot, exactly what the periodic
+                # path writes; the savers are joined on the return path
+                # below, inside the preemption grace window
+                logger.warning(
+                    f"graceful stop at step {global_step}: writing "
+                    f"checkpoint-{global_step} before exit")
+                params_now, lora_now = current_params()
+                pipe_saver.submit(
+                    save_pipe, cfg, output_dir, global_step,
+                    cfg.pretrained_model_path, models, params_now,
+                    lora_now, lora_manager, True,
+                    context=f"preemption checkpoint-{global_step} "
+                            "pipeline save")
+                state_saver.save(
+                    os.path.join(output_dir,
+                                 f"checkpoint-{global_step}"), state)
+                prune_checkpoints(output_dir, cfg.checkpoints_total_limit,
+                                  in_flight_step=global_step)
         except BaseException:
             # already propagating an error: a secondary saver-shutdown
             # failure must not mask it -- log and re-raise the original
@@ -900,6 +946,9 @@ def main(**kwargs):
                         f"async saver shutdown error while handling a "
                         f"training failure: {join_exc}")
             raise
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
 
         # join any in-flight async writes before the run returns (a caller
         # may immediately re-open the checkpoint dir to resume).  A join
