@@ -4,10 +4,16 @@ The reference repo stops at a one-shot CLI (reference inference.py:336-435:
 load model, sample, write mp4, exit); every invocation pays the model load
 and — on TPU — the XLA compile.  For production serving that is the wrong
 shape: the scan-form sampler (`pipelines/diffuse.py`) is one compiled
-program per (geometry, steps) signature, so a resident server that routes
-every request at a warm signature runs at the device's steady-state rate,
-and batching same-signature requests multiplies throughput nearly for free
-(the UNet dispatch is batch-parallel on the MXU).
+program per (geometry, steps, batch) signature, so a resident server that
+routes every request at a warm signature runs at the device's steady-state
+rate.  Coalescing same-signature requests into one batched dispatch is a
+DIAL, not a free win: at signatures that saturate the chip the batch
+dimension scales cost linearly (measured on v5e at 256x256x16f/25 steps:
+a B=2 dispatch costs 2.12x B=1, so coalescing LOWERS videos/min vs
+per-request dispatches that overlap host work with device compute), while
+at overhead-dominated signatures (small geometry / few steps) it
+multiplies throughput.  Measured numbers and sizing guidance:
+benchmarks/RESULTS.md (serving) and docs/serving.md.
 
 Design:
 - `BatchingWorker`: a single consumer thread that drains a queue of
