@@ -145,6 +145,43 @@ def test_worker_isolates_errors_per_batch():
         w.shutdown()
 
 
+def test_max_queue_backpressure():
+    """max_queue bounds ACCEPTED-but-unfinished requests (queued +
+    gathering + dispatched): overflow submits raise ServerOverloaded
+    (mapped to HTTP 503), completions free capacity, and the stats
+    snapshot exposes queue_depth + a rejected counter.  Rationale: one
+    full-size dispatch holds the chip for seconds (RESULTS.md serving),
+    so an unbounded queue turns a burst into minutes of tail latency."""
+    from text_to_video_finetuning_tpu.serving.server import (
+        BatchingWorker, ServerOverloaded)
+
+    release = threading.Event()
+
+    def slow_batch(reqs):
+        release.wait(timeout=30)
+        return [np.zeros((3, 2, 8, 8), np.float32)] * len(reqs)
+
+    w = BatchingWorker(slow_batch, max_batch=1, batch_window_ms=0,
+                       max_queue=2)
+    try:
+        p1 = w.submit(GenerationRequest(prompt="a"))
+        p2 = w.submit(GenerationRequest(prompt="b"))
+        with pytest.raises(ServerOverloaded, match="max_queue=2"):
+            w.submit(GenerationRequest(prompt="c"))
+        snap = w.snapshot()
+        assert snap["rejected"] == 1 and snap["queue_depth"] == 2
+        release.set()
+        _drain(w, [p1, p2])
+        # completions freed capacity; the rejected request was never queued
+        p3 = w.submit(GenerationRequest(prompt="d"))
+        _drain(w, [p3])
+        snap = w.snapshot()
+        assert snap["queue_depth"] == 0 and snap["requests"] == 3
+    finally:
+        release.set()
+        w.shutdown()
+
+
 def test_warmup_precompiles_each_batch_shape(tmp_path):
     """warmup(batch_sizes=...) must dispatch exactly one batch per distinct
     size (ascending, deduped, clamped to max_batch), bypassing the gather

@@ -191,6 +191,12 @@ def serve_main(argv=None):
                              "coalesced sizes not warmed here compile on "
                              "their first unlucky request (pass e.g. 1 2 4 "
                              "to match --max-batch)")
+    parser.add_argument("--max-queue", type=int, default=0,
+                        help="reject new requests with 503 once this many "
+                             "are in flight (queued + running); 0 = "
+                             "unbounded. Size it from the measured "
+                             "s/request at your signature x your clients' "
+                             "timeout (docs/serving.md)")
     parser.add_argument("--warmup-width", type=int, default=256)
     parser.add_argument("--warmup-height", type=int, default=256)
     parser.add_argument("--warmup-frames", type=int, default=16)
@@ -217,7 +223,8 @@ def serve_main(argv=None):
         lora_path=args.lora_path, lora_rank=args.lora_rank,
         lora_scale=args.lora_scale,
         request_timeout_s=args.request_timeout_s,
-        mesh=_mesh_arg(args.mesh))
+        mesh=_mesh_arg(args.mesh),
+        max_queue=args.max_queue or None)
     if not args.no_warmup:
         import time as _time
 

@@ -102,38 +102,62 @@ class _Pending:
     head_seed: Optional[int] = None
 
 
+class ServerOverloaded(Exception):
+    """The in-flight request count reached max_queue (HTTP 503)."""
+
+
 class BatchingWorker:
     """Single-consumer dynamic batcher.
 
     `run_batch(requests) -> list[np.ndarray]` receives 1..max_batch
     requests with identical batch keys and returns one (C, F, H, W) video
     per request, in order.  Requests whose key differs from the batch
-    being gathered stay queued for the next cycle (FIFO across cycles)."""
+    being gathered stay queued for the next cycle (FIFO across cycles).
+
+    `max_queue` bounds the number of ACCEPTED-but-unfinished requests
+    (queued + gathering + dispatched): a full-size video dispatch holds
+    the chip for seconds (RESULTS.md serving), so an unbounded queue
+    turns a traffic burst into minutes of tail latency with every client
+    still counting down its timeout.  submit() past the bound raises
+    ServerOverloaded, which the HTTP front end maps to 503 so load
+    balancers can shed/retry.  None = unbounded (default)."""
 
     def __init__(self, run_batch: Callable[[List[GenerationRequest]],
                                            List[np.ndarray]],
-                 max_batch: int = 4, batch_window_ms: float = 50.0):
+                 max_batch: int = 4, batch_window_ms: float = 50.0,
+                 max_queue: Optional[int] = None):
         self._run_batch = run_batch
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, batch_window_ms) / 1e3
+        self.max_queue = int(max_queue) if max_queue else None
         self._queue: "queue.Queue" = queue.Queue()
         self._backlog: List[_Pending] = []      # key-mismatched, FIFO
         self._lock = threading.Lock()
+        self._inflight = 0                       # accepted, not yet done
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "max_batch_seen": 0, "generate_seconds": 0.0}
+                      "rejected": 0, "max_batch_seen": 0,
+                      "generate_seconds": 0.0}
         self._stop = object()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="t2v-batching-worker")
         self._thread.start()
 
     def submit(self, request: GenerationRequest) -> _Pending:
+        with self._lock:
+            if (self.max_queue is not None
+                    and self._inflight >= self.max_queue):
+                self.stats["rejected"] += 1
+                raise ServerOverloaded(
+                    f"{self._inflight} requests in flight (max_queue="
+                    f"{self.max_queue}); retry later or raise --max-queue")
+            self._inflight += 1
         pending = _Pending(request=request)
         self._queue.put(pending)
         return pending
 
     def snapshot(self) -> dict:
         with self._lock:
-            return dict(self.stats)
+            return dict(self.stats, queue_depth=self._inflight)
 
     def shutdown(self, timeout: float = 10.0):
         self._queue.put(self._stop)
@@ -208,6 +232,8 @@ class BatchingWorker:
                     self.stats["max_batch_seen"] = max(
                         self.stats["max_batch_seen"], len(batch))
                     self.stats["generate_seconds"] += dt
+                with self._lock:
+                    self._inflight -= len(batch)
                 for pending in batch:
                     pending.done.set()
 
@@ -238,7 +264,7 @@ class T2VServer:
                  batch_window_ms: float = 50.0, use_fused_attention=True,
                  lora_path: str = "", lora_rank: int = 64,
                  lora_scale: float = 1.0, request_timeout_s: float = 3600.0,
-                 pipe=None, mesh=None):
+                 pipe=None, mesh=None, max_queue: Optional[int] = None):
         from ..pipelines.inference import generate, initialize_pipeline
         self.model = model
         self.output_dir = output_dir
@@ -249,7 +275,8 @@ class T2VServer:
             lora_scale=lora_scale, mesh=mesh)
         self._generate = generate
         self.worker = BatchingWorker(self._run_batch, max_batch=max_batch,
-                                     batch_window_ms=batch_window_ms)
+                                     batch_window_ms=batch_window_ms,
+                                     max_queue=max_queue)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self.httpd.server_address[:2]
@@ -400,6 +427,8 @@ class T2VServer:
                     if not isinstance(body, dict):
                         raise ValueError("body must be a JSON object")
                     self._send_json(200, server._handle_generate(body))
+                except ServerOverloaded as exc:
+                    self._send_json(503, {"error": str(exc)})
                 except (ValueError, TypeError) as exc:
                     self._send_json(400, {"error": str(exc)})
                 except TimeoutError as exc:
