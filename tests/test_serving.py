@@ -213,6 +213,65 @@ def test_warmup_precompiles_each_batch_shape(tmp_path):
         server.shutdown()
 
 
+def test_drain_finishes_inflight_and_rejects_new(tmp_path):
+    """drain_and_shutdown (t2v-serve's SIGTERM path): in-flight requests
+    complete (a full-size dispatch holds the chip for seconds; killing it
+    wastes the work), NEW requests and /healthz get 503 while draining,
+    and serve_forever returns once drained — the serving side of
+    training's save_on_preemption."""
+    from text_to_video_finetuning_tpu.serving import T2VServer
+
+    server = T2VServer(model="<fake>", port=0, output_dir=str(tmp_path),
+                       max_batch=1, batch_window_ms=0, pipe=object())
+    release = threading.Event()
+
+    def slow_generate(pipe, prompts, **kwargs):
+        release.wait(timeout=30)
+        return [np.zeros((3, 2, 8, 8), np.float32)] * len(prompts)
+
+    server._generate = slow_generate
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://{server.host}:{server.port}"
+    body = json.dumps({"prompt": "x", "width": 8, "height": 8,
+                       "num_frames": 2, "window_size": 2,
+                       "num_steps": 1}).encode()
+
+    def post():
+        try:
+            r = urllib.request.urlopen(urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"}), timeout=30)
+            return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    results = {}
+    t1 = threading.Thread(target=lambda: results.update(inflight=post()))
+    t1.start()
+    for _ in range(200):                      # worker picked the request up
+        if server.worker.snapshot()["queue_depth"] == 1:
+            break
+        time.sleep(0.02)
+    assert server.worker.snapshot()["queue_depth"] == 1
+
+    server.request_drain(timeout_s=30)
+    assert server._draining.wait(timeout=5)
+    assert post() == 503                      # new traffic shed
+    try:
+        urllib.request.urlopen(base + "/healthz", timeout=5)
+        raise AssertionError("healthz should be 503 while draining")
+    except urllib.error.HTTPError as e:
+        assert e.code == 503
+        assert json.loads(e.read())["status"] == "draining"
+
+    release.set()                             # let the in-flight finish
+    t1.join(timeout=30)
+    assert results["inflight"] == 200
+    thread.join(timeout=30)                   # drained -> server exited
+    assert not thread.is_alive()
+
+
 # ---------------------------------------------------------------------------
 # End-to-end HTTP over the tiny pipeline (compiles the scan sampler: slow)
 # ---------------------------------------------------------------------------

@@ -242,11 +242,19 @@ def serve_main(argv=None):
             print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
                   f"{req.num_steps} steps, batch {b} "
                   f"({_time.perf_counter() - t0:.1f}s).")
+    # graceful drain on SIGTERM (the serving side of training's
+    # save_on_preemption): finish accepted requests, 503 new ones, exit
+    import signal as _signal
+    import threading as _threading
+    if _threading.current_thread() is _threading.main_thread():
+        _signal.signal(
+            _signal.SIGTERM,
+            lambda *_: (print("SIGTERM: draining (new requests get 503, "
+                              "in-flight finish)..."),
+                        server.request_drain(args.request_timeout_s)))
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
-    finally:
         server.shutdown()
 
 

@@ -281,6 +281,7 @@ class T2VServer:
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self.httpd.server_address[:2]
         self._serving = threading.Event()   # see shutdown()
+        self._draining = threading.Event()  # see drain_and_shutdown()
 
     # -- generation --------------------------------------------------------
 
@@ -347,7 +348,33 @@ class T2VServer:
         self.httpd.server_close()
         self.worker.shutdown()
 
+    def drain_and_shutdown(self, timeout_s: float = 600.0):
+        """Graceful stop (the serving side of training's
+        save_on_preemption): reject NEW /generate requests with 503
+        'draining', let every accepted request finish (a full-size
+        dispatch holds the chip for seconds; killing it mid-flight wastes
+        the work and the client's wait), then shut the server down.
+        After `timeout_s` the remaining in-flight work is abandoned.
+        t2v-serve wires this to SIGTERM."""
+        self._draining.set()
+        deadline = time.monotonic() + max(0.0, timeout_s)
+        while (self.worker.snapshot()["queue_depth"] > 0
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        self.shutdown()
+
+    def request_drain(self, timeout_s: float = 600.0):
+        """Signal-handler-safe: start drain_and_shutdown off-thread and
+        return immediately (serve_forever unblocks when the drain
+        completes)."""
+        threading.Thread(target=self.drain_and_shutdown,
+                         args=(timeout_s,), daemon=True,
+                         name="t2v-drain").start()
+
     def _handle_generate(self, body: dict) -> dict:
+        if self._draining.is_set():
+            raise ServerOverloaded(
+                "server is draining for shutdown; retry another replica")
         known = {f for f in GenerationRequest.__dataclass_fields__}
         unknown = set(body) - known - {"return_video"}
         if unknown:
@@ -409,8 +436,10 @@ class T2VServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._send_json(200, {
-                        "status": "ok", "model": server.model,
+                    draining = server._draining.is_set()
+                    self._send_json(503 if draining else 200, {
+                        "status": "draining" if draining else "ok",
+                        "model": server.model,
                         "uptime_s": round(time.time() - server.started_at, 1)})
                 elif self.path == "/stats":
                     self._send_json(200, server.worker.snapshot())
