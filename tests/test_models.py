@@ -200,5 +200,12 @@ def test_mesh_from_string_parses_and_rejects():
         mesh_from_string("dp")
     with pytest.raises(ValueError, match="needs 16 devices"):
         mesh_from_string("dp=16")
-    with pytest.raises(AssertionError):
+    # inferred dp goes through the same ValueError validation as explicit
+    # specs (no bare assert: must survive python -O and read like a CLI
+    # error, not a traceback into numpy reshape)
+    with pytest.raises(ValueError, match="not divisible"):
         mesh_from_string("sp=3")   # 8 devices not divisible by sp=3
+    # explicit spec whose product undershoots the host still runs on a
+    # subset (documented behavior): dp=3,sp=2 -> 6 of 8 devices
+    assert mesh_from_string("dp=3,sp=2").devices.size == 6
+

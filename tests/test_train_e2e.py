@@ -1095,10 +1095,13 @@ def test_sigterm_preemption_checkpoints_and_resumes(tiny_pipeline_dir,
                                                     tiny_video, tmp_path):
     """save_on_preemption (beyond the reference, which dies unsaved): a
     SIGTERM mid-run must finish the in-flight step, write a resumable
-    checkpoint-<step>, still produce the final pipeline save, and return
-    cleanly; resume_from_checkpoint must accept the written checkpoint.
-    The signal is raised from the engine's own 'step 1' log record so the
-    trigger lands deterministically after the first optimizer update."""
+    checkpoint-<step>, and return cleanly WITHOUT the end-of-training
+    pipeline export (a second synchronous multi-GB write would burn the
+    preemption grace window and could be SIGKILLed mid-write, leaving a
+    torn pipeline dir at the run root); resume_from_checkpoint must accept
+    the written checkpoint.  The signal is raised from the engine's own
+    'step 1' log record so the trigger lands deterministically after the
+    first optimizer update."""
     import logging
     import signal as signalmod
 
@@ -1131,8 +1134,10 @@ def test_sigterm_preemption_checkpoints_and_resumes(tiny_pipeline_dir,
     step = int(os.path.basename(ckpts[0]).split("-")[1])
     assert 1 <= step < 40
     assert os.path.isdir(os.path.join(ckpts[0], "train_state"))
-    # the normal-return path still ran: final pipeline + config snapshot
-    assert os.path.exists(os.path.join(out_dir, "model_index.json"))
+    # the end-of-training export is SKIPPED on preemption: the resumable
+    # checkpoint above is the durable artifact; nothing half-written sits
+    # at the run root
+    assert not os.path.exists(os.path.join(out_dir, "model_index.json"))
     # the handler was restored (no stale reference into the finished run)
     assert signalmod.getsignal(signalmod.SIGTERM) in (
         signalmod.SIG_DFL, signalmod.default_int_handler)

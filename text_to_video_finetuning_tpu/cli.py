@@ -236,7 +236,11 @@ def serve_main(argv=None):
             prompt="warmup", width=args.warmup_width,
             height=args.warmup_height, num_frames=args.warmup_frames,
             num_steps=args.warmup_steps)
-        for b in sorted(set(args.warmup_batch_sizes)):
+        # clamp to --max-batch BEFORE dedup: warmup() clamps internally, so
+        # warming [4, 8] one call at a time with max_batch=4 would compile
+        # (and pay a full sample for) batch 4 twice
+        for b in sorted({min(max(1, b), server.worker.max_batch)
+                         for b in args.warmup_batch_sizes}):
             t0 = _time.perf_counter()
             server.warmup(req, batch_sizes=[b])
             print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
@@ -255,6 +259,11 @@ def serve_main(argv=None):
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        pass
+    finally:
+        # also runs when serve_forever raises (e.g. socket OSError): close
+        # the HTTP socket and join the batching worker so in-flight clients
+        # get an orderly close, not an abrupt reset
         server.shutdown()
 
 

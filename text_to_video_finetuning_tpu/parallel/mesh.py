@@ -38,12 +38,19 @@ def make_mesh(config: MeshConfig = MeshConfig(),
     n = len(devices)
     rest = config.fsdp * config.tp * config.sp
     dp = config.dp
+    # real exceptions, not asserts: mesh specs come straight from CLI
+    # flags (mesh_from_string), must fail with the same helpful ValueError
+    # whether dp is explicit or inferred, and must survive python -O
     if dp == -1:
-        assert n % rest == 0, (
-            f"{n} devices not divisible by fsdp*tp*sp={rest}")
+        if n % rest != 0:
+            raise ValueError(
+                f"{n} devices not divisible by fsdp*tp*sp={rest}; "
+                "adjust the mesh spec or omit axes (e.g. 'dp=2,sp=4')")
         dp = n // rest
-    assert dp * rest == n, (
-        f"mesh {dp}x{config.fsdp}x{config.tp}x{config.sp} != {n} devices")
+    if dp * rest != n:
+        raise ValueError(
+            f"mesh dp={dp},fsdp={config.fsdp},tp={config.tp},"
+            f"sp={config.sp} needs {dp * rest} devices, have {n}")
     arr = np.asarray(devices).reshape(dp, config.fsdp, config.tp, config.sp)
     return Mesh(arr, axis_names=("dp", "fsdp", "tp", "sp"))
 

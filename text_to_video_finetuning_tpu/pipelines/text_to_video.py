@@ -232,9 +232,18 @@ class TextToVideoSDPipeline:
             [self.mesh.shape[a] for a in ("dp", "sp")]))
         if n_dev > 1 and flat.shape[0] % n_dev == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            flat = jax.device_put(
-                flat, NamedSharding(self.mesh, P(("dp", "sp"))))
-            outs = [self._vae_decode(self.vae_params, flat)]
+            sharding = NamedSharding(self.mesh, P(("dp", "sp")))
+            # vae_batch_size is a PER-DEVICE memory bound; on a mesh the
+            # dispatch covers n_dev frames at once, so chunk at
+            # n_dev * batch_size (every chunk stays divisible by n_dev,
+            # so the sharding lays out evenly).  Without this, coalesced
+            # multi-request batches make per-device decode size B*F/n_dev,
+            # which can OOM at geometries the unsharded path handles.
+            chunk = n_dev * max(1, batch_size)
+            outs = []
+            for i in range(0, flat.shape[0], chunk):
+                part = jax.device_put(flat[i:i + chunk], sharding)
+                outs.append(self._vae_decode(self.vae_params, part))
         else:
             outs = [self._vae_decode(self.vae_params, flat[i:i + batch_size])
                     for i in range(0, flat.shape[0], batch_size)]

@@ -134,6 +134,7 @@ class BatchingWorker:
         self._backlog: List[_Pending] = []      # key-mismatched, FIFO
         self._lock = threading.Lock()
         self._inflight = 0                       # accepted, not yet done
+        self._draining = False                   # see begin_drain()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "rejected": 0, "max_batch_seen": 0,
                       "generate_seconds": 0.0}
@@ -144,6 +145,17 @@ class BatchingWorker:
 
     def submit(self, request: GenerationRequest) -> _Pending:
         with self._lock:
+            if self._draining:
+                # authoritative drain gate: the server-level _draining check
+                # in _handle_generate is advisory (a request thread can pass
+                # it, then be descheduled while drain sees depth 0 and
+                # enqueues the stop sentinel — the late submit would queue
+                # behind _stop and never run). Checking under the SAME lock
+                # begin_drain() takes closes that window: after begin_drain
+                # returns, no new request can join the queue.
+                self.stats["rejected"] += 1
+                raise ServerOverloaded(
+                    "server is draining for shutdown; retry another replica")
             if (self.max_queue is not None
                     and self._inflight >= self.max_queue):
                 self.stats["rejected"] += 1
@@ -158,6 +170,11 @@ class BatchingWorker:
     def snapshot(self) -> dict:
         with self._lock:
             return dict(self.stats, queue_depth=self._inflight)
+
+    def begin_drain(self):
+        """Atomically stop accepting new submissions (see submit())."""
+        with self._lock:
+            self._draining = True
 
     def shutdown(self, timeout: float = 10.0):
         self._queue.put(self._stop)
@@ -232,7 +249,6 @@ class BatchingWorker:
                     self.stats["max_batch_seen"] = max(
                         self.stats["max_batch_seen"], len(batch))
                     self.stats["generate_seconds"] += dt
-                with self._lock:
                     self._inflight -= len(batch)
                 for pending in batch:
                     pending.done.set()
@@ -282,6 +298,12 @@ class T2VServer:
         self.host, self.port = self.httpd.server_address[:2]
         self._serving = threading.Event()   # see shutdown()
         self._draining = threading.Event()  # see drain_and_shutdown()
+        # /generate handler threads currently between accept and response
+        # written — the worker's queue_depth hits 0 while handlers are
+        # still post-processing/exporting/encoding, so drain must wait on
+        # THIS count too or the process exits mid-response
+        self._active_lock = threading.Lock()
+        self._active_requests = 0
 
     # -- generation --------------------------------------------------------
 
@@ -357,9 +379,19 @@ class T2VServer:
         After `timeout_s` the remaining in-flight work is abandoned.
         t2v-serve wires this to SIGTERM."""
         self._draining.set()
+        # close the submit window atomically (a request thread past the
+        # _draining check but not yet submitted would otherwise queue
+        # behind the stop sentinel and hang until request_timeout_s)
+        self.worker.begin_drain()
         deadline = time.monotonic() + max(0.0, timeout_s)
-        while (self.worker.snapshot()["queue_depth"] > 0
-               and time.monotonic() < deadline):
+        while time.monotonic() < deadline:
+            with self._active_lock:
+                active = self._active_requests
+            # queue_depth covers sampling; _active_requests covers the
+            # handler tail (LaMa post-process, mp4 export, base64, response
+            # write) that runs AFTER the worker marks the request done
+            if self.worker.snapshot()["queue_depth"] == 0 and active == 0:
+                break
             time.sleep(0.05)
         self.shutdown()
 
@@ -450,6 +482,11 @@ class T2VServer:
                 if self.path != "/generate":
                     self._send_json(404, {"error": "not found"})
                     return
+                # count the WHOLE handler span (including the response
+                # write) so drain_and_shutdown doesn't kill the process
+                # while the mp4 export / base64 encode is still running
+                with server._active_lock:
+                    server._active_requests += 1
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(length) or b"{}")
@@ -464,5 +501,8 @@ class T2VServer:
                     self._send_json(504, {"error": str(exc)})
                 except Exception as exc:  # noqa: BLE001
                     self._send_json(500, {"error": str(exc)})
+                finally:
+                    with server._active_lock:
+                        server._active_requests -= 1
 
         return Handler

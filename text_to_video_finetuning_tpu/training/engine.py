@@ -966,7 +966,12 @@ def main(**kwargs):
                     logger.warning(f"async saver shutdown error: {e}")
         if shutdown_exc is not None:
             raise shutdown_exc
-        if is_main:
+        if is_main and not stop_event.is_set():
+            # end-of-training export only (reference train.py:963-970
+            # equivalent).  On preemption the resumable checkpoint above is
+            # already durable — a second synchronous multi-GB export here
+            # would burn the SIGTERM grace window and could be SIGKILLed
+            # mid-write, leaving a torn pipeline dir at the run root.
             params_now, lora_now = current_params()
             save_pipe(cfg, output_dir, global_step,
                       cfg.pretrained_model_path, models, params_now,

@@ -12,6 +12,7 @@ same Adam moments, same RNG stream.
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 from typing import Any, Optional
@@ -82,6 +83,38 @@ def has_train_state(checkpoint_dir: str) -> bool:
     return os.path.isdir(os.path.join(checkpoint_dir, _STATE_SUBDIR))
 
 
+def _checkpoint_has_ema(path: str, ema_index: int) -> Optional[bool]:
+    """Whether the checkpoint's tree metadata records an EMA shadow.
+
+    Orbax's PyTree format writes a `_METADATA` JSON whose `tree_metadata`
+    maps flattened key paths to leaf metadata.  TrainState is a positional
+    pytree, so the ema field appears as key index `ema_index` (its dataclass
+    field position): saved with ``ema=None`` the entry is a single leaf with
+    ``value_metadata.value_type == "None"``; with a live shadow the entries
+    are the shadow's subtree (``('4', 'unet', ...)``).  Returns None when
+    the file is missing or the format is unrecognized (caller restores
+    against its own template and lets any error propagate).
+    """
+    try:
+        with open(os.path.join(path, "_METADATA")) as f:
+            tree = json.load(f).get("tree_metadata")
+    except (OSError, ValueError):
+        return None
+    if not isinstance(tree, dict):
+        return None
+    entries = [v for v in tree.values()
+               if isinstance(v, dict)
+               and (v.get("key_metadata") or [{}])[0].get("key")
+               == str(ema_index)]
+    if not entries:
+        return None
+    for v in entries:
+        value_type = (v.get("value_metadata") or {}).get("value_type")
+        if len(v.get("key_metadata") or []) > 1 or value_type != "None":
+            return True
+    return False
+
+
 def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
     """Restore a TrainState saved by `save_train_state`.
 
@@ -91,13 +124,16 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
 
     The `ema` field makes checkpoints saved with use_ema on/off have
     different tree structures; rather than surfacing orbax's opaque
-    structure-mismatch error, a presence mismatch is bridged explicitly
-    (ADVICE r3):
+    structure-mismatch error, a presence mismatch is detected up front from
+    the checkpoint's own tree metadata and bridged explicitly (ADVICE r3):
     - checkpoint WITHOUT ema, resuming with use_ema=True: the EMA shadow is
       seeded from the restored trainable params (a fresh EMA start);
     - checkpoint WITH ema, resuming with use_ema=False: the stored shadow
       is dropped (the ema always mirrors the trainable tree, so it restores
       against that structure and is discarded).
+    Every path performs exactly ONE restore, and non-structural failures
+    (corrupt/truncated checkpoints, I/O errors) propagate with their real
+    cause instead of being retried and re-labelled as a settings mismatch.
     """
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(checkpoint_dir, _STATE_SUBDIR))
@@ -108,34 +144,27 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
         with ocp.StandardCheckpointer() as ckptr:
             return ckptr.restore(path, template)
 
+    want_ema = getattr(abstract_state, "ema", None) is not None
     try:
+        ema_index = [f.name for f in
+                     dataclasses.fields(abstract_state)].index("ema")
+    except (TypeError, ValueError):
+        ema_index = -1  # not a dataclass / no ema field: probe disabled
+    has_ema = (_checkpoint_has_ema(path, ema_index)
+               if ema_index >= 0 else None)
+    if has_ema is None or has_ema == want_ema:
         return _restore(abstract_state)
-    except Exception as exc:
-        want_ema = getattr(abstract_state, "ema", None) is not None
-        try:
-            if want_ema:
-                restored = _restore(dataclasses.replace(abstract_state,
-                                                        ema=None))
-                restored = dataclasses.replace(
-                    restored,
-                    ema=jax.tree_util.tree_map(jnp.copy, restored.trainable))
-                logger.warning(
-                    f"checkpoint {path} was saved without an EMA shadow "
-                    "(use_ema was off); seeding the EMA from the restored "
-                    "trainable params")
-            else:
-                restored = _restore(dataclasses.replace(
-                    abstract_state, ema=abstract_state.trainable))
-                restored = dataclasses.replace(restored, ema=None)
-                logger.warning(
-                    f"checkpoint {path} contains an EMA shadow but use_ema "
-                    "is off for this run; the stored shadow is discarded")
-        except Exception:
-            raise RuntimeError(
-                f"failed to restore the train state at {path}: the tree "
-                "structure does not match the current run's TrainState "
-                "(and it is not a use_ema on/off mismatch, which would be "
-                "bridged automatically). Keep optimizer/accumulation/LoRA "
-                "settings consistent with the run that wrote the "
-                "checkpoint.") from exc
-        return restored
+    if want_ema:  # checkpoint predates EMA / was saved with use_ema=False
+        restored = _restore(dataclasses.replace(abstract_state, ema=None))
+        logger.warning(
+            f"checkpoint {path} was saved without an EMA shadow (use_ema "
+            "was off); seeding the EMA from the restored trainable params")
+        return dataclasses.replace(
+            restored,
+            ema=jax.tree_util.tree_map(jnp.copy, restored.trainable))
+    restored = _restore(dataclasses.replace(
+        abstract_state, ema=abstract_state.trainable))
+    logger.warning(
+        f"checkpoint {path} contains an EMA shadow but use_ema is off for "
+        "this run; the stored shadow is discarded")
+    return dataclasses.replace(restored, ema=None)
