@@ -208,4 +208,12 @@ def test_mesh_from_string_parses_and_rejects():
     # explicit spec whose product undershoots the host still runs on a
     # subset (documented behavior): dp=3,sp=2 -> 6 of 8 devices
     assert mesh_from_string("dp=3,sp=2").devices.size == 6
+    # non-integer and non-positive sizes fail with the helpful message,
+    # not a bare int() traceback or a confusing reshape error (ADVICE r4)
+    with pytest.raises(ValueError, match="must be an integer"):
+        mesh_from_string("dp=x")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        mesh_from_string("dp=0")
+    with pytest.raises(ValueError, match="must be >= 1"):
+        mesh_from_string("fsdp=-2")
 

@@ -209,6 +209,10 @@ def serve_main(argv=None):
                         help="multi-chip sampling mesh, e.g. 'sp=4' or "
                              "'dp=2,sp=4' (see t2v-inference --mesh)")
     args = parser.parse_args(argv)
+    if args.max_queue < 0:
+        # a negative bound would make `inflight >= max_queue` always true
+        # and 503 every request — fail loudly at the parser instead
+        parser.error(f"--max-queue must be >= 0, got {args.max_queue}")
 
     from text_to_video_finetuning_tpu.utils.compile_cache import (
         enable_persistent_compile_cache)
@@ -225,11 +229,29 @@ def serve_main(argv=None):
         request_timeout_s=args.request_timeout_s,
         mesh=_mesh_arg(args.mesh),
         max_queue=args.max_queue or None)
+    # graceful drain on SIGTERM (the serving side of training's
+    # save_on_preemption): finish accepted requests, 503 new ones, exit.
+    # Installed BEFORE warmup so a preemption notice arriving during the
+    # multi-minute warmup compiles still exits cleanly (the in-flight
+    # warmup sample finishes, the remaining warmups are skipped, and
+    # serve_forever is never entered).
+    import signal as _signal
+    import threading as _threading
+    drain_requested = _threading.Event()
+
+    def _on_sigterm(*_):
+        print("SIGTERM: draining (new requests get 503, in-flight "
+              "finish)...")
+        drain_requested.set()
+        server.request_drain(args.request_timeout_s)
+
+    if _threading.current_thread() is _threading.main_thread():
+        _signal.signal(_signal.SIGTERM, _on_sigterm)
     if not args.no_warmup:
         import time as _time
 
         from text_to_video_finetuning_tpu.serving.server import (
-            GenerationRequest)
+            GenerationRequest, ServerOverloaded)
         print("Warming up the sampler (first TPU compile is slow; the "
               "persistent compile cache makes restarts fast)...")
         req = GenerationRequest(
@@ -241,23 +263,19 @@ def serve_main(argv=None):
         # (and pay a full sample for) batch 4 twice
         for b in sorted({min(max(1, b), server.worker.max_batch)
                          for b in args.warmup_batch_sizes}):
+            if drain_requested.is_set():
+                break
             t0 = _time.perf_counter()
-            server.warmup(req, batch_sizes=[b])
+            try:
+                server.warmup(req, batch_sizes=[b])
+            except ServerOverloaded:
+                break  # drain began while this warmup was queued
             print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
                   f"{req.num_steps} steps, batch {b} "
                   f"({_time.perf_counter() - t0:.1f}s).")
-    # graceful drain on SIGTERM (the serving side of training's
-    # save_on_preemption): finish accepted requests, 503 new ones, exit
-    import signal as _signal
-    import threading as _threading
-    if _threading.current_thread() is _threading.main_thread():
-        _signal.signal(
-            _signal.SIGTERM,
-            lambda *_: (print("SIGTERM: draining (new requests get 503, "
-                              "in-flight finish)..."),
-                        server.request_drain(args.request_timeout_s)))
     try:
-        server.serve_forever()
+        if not drain_requested.is_set():
+            server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:

@@ -75,7 +75,17 @@ def mesh_from_string(spec: str, devices=None) -> Optional[Mesh]:
             raise ValueError(
                 f"bad mesh spec {part!r}: expected axis=N with axis in "
                 f"{sorted(valid)} (e.g. 'dp=2,sp=4')")
-        kwargs[name] = int(val)
+        try:
+            size = int(val)
+        except ValueError:
+            raise ValueError(
+                f"bad mesh spec {part!r}: axis size must be an integer "
+                "(e.g. 'dp=2,sp=4')") from None
+        if size < 1 and not (name == "dp" and size == -1):
+            raise ValueError(
+                f"bad mesh spec {part!r}: axis size must be >= 1 "
+                "(dp=-1 means 'all remaining devices')")
+        kwargs[name] = size
     devices = list(devices) if devices is not None else list(jax.devices())
     if kwargs.get("dp", -1) != -1:
         need = int(np.prod([kwargs.get(f.name, 1)

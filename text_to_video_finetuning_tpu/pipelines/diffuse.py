@@ -82,14 +82,17 @@ def _scan_windowed_denoise(params, latents, buffer, embeds, gs, ts, coeffs,
 
 
 def primes_up_to(n: int) -> np.ndarray:
-    """Sieve (reference inference.py:143-150)."""
-    sieve = np.ones(n // 3 + (n % 6 == 2), dtype=bool)
-    for i in range(1, int(n ** 0.5) // 3 + 1):
-        if sieve[i]:
-            k = 3 * i + 1 | 1
-            sieve[k * k // 3:: 2 * k] = False
-            sieve[k * (k - 2 * (i & 1) + 4) // 3:: 2 * k] = False
-    return np.r_[2, 3, ((3 * np.nonzero(sieve)[0][1:] + 1) | 1)]
+    """Primes strictly below n, as a boolean Eratosthenes sieve.
+
+    Powers the prime-shift rotation schedule for windowed long-video
+    denoising (behavioral parity with reference inference.py:143-150,
+    which produces the same set for the window sizes in use)."""
+    is_prime = np.ones(max(n, 2), dtype=bool)
+    is_prime[:2] = False
+    for p in range(2, int(n ** 0.5) + 1):
+        if is_prime[p]:
+            is_prime[p * p::p] = False
+    return np.nonzero(is_prime)[0]
 
 
 def diffuse(pipe: TextToVideoSDPipeline,
@@ -114,8 +117,14 @@ def diffuse(pipe: TextToVideoSDPipeline,
     do_cfg = guidance_scale > 1.0
     batch_size, _, num_frames, _, _ = latents.shape
     window_size = min(num_frames, window_size)
-    assert num_frames % window_size == 0, \
-        "window_size must divide num_frames exactly"
+    if num_frames % window_size != 0:
+        # real exception, not assert: CLI-reachable (t2v-inference -WS) and
+        # must survive python -O; mirrors serving/server.py's validation.
+        # The requirement itself is reference-faithful ("Must be divide
+        # num_frames exactly!", reference inference.py:352).
+        raise ValueError(
+            f"window_size ({window_size}) must divide num_frames "
+            f"({num_frames}) exactly")
 
     embeds = pipe.encode_prompt(prompt, negative_prompt, do_cfg,
                                 prompt_embeds, negative_prompt_embeds)

@@ -345,7 +345,14 @@ class T2VServer:
         and every batch size the worker may form (typically 1..max_batch,
         via `t2v-serve --warmup-batch-sizes`). Dispatches go straight to
         `_run_batch`, bypassing the gather window, so each size compiles
-        exactly once and also warms the matching VAE-decode program."""
+        exactly once and also warms the matching VAE-decode program.
+
+        Behavior change (round 4): with no `request`, this warms the
+        GenerationRequest DEFAULT signature (256x256, 16 frames, 25
+        steps) — a full-cost sample — not the cheap 8-frame/2-step probe
+        earlier rounds used. Callers who only want a smoke-test compile
+        should pass an explicit small request (e.g. num_frames=8,
+        num_steps=2), as tests do."""
         req = request or GenerationRequest(prompt="warmup")
         for b in sorted({min(max(1, int(b)), self.worker.max_batch)
                          for b in batch_sizes}):

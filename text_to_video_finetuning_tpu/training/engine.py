@@ -369,8 +369,12 @@ def main(**kwargs):
         try:
             from tensorboardX import SummaryWriter
             writer = SummaryWriter(os.path.join(output_dir, "logs"))
-        except Exception:
-            pass
+        except Exception as e:
+            # surface it: a silent None writer means a run the user believes
+            # is logged writes nothing, discovered only hours later
+            logging.getLogger(__name__).warning(
+                "tensorboardX unavailable (%s); training metrics will NOT "
+                "be logged to %s", e, os.path.join(output_dir, "logs"))
 
     # mesh (the Accelerate process-group analog)
     mesh = make_mesh(MeshConfig(dp=cfg.mesh_dp, fsdp=cfg.mesh_fsdp,

@@ -152,19 +152,39 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
         ema_index = -1  # not a dataclass / no ema field: probe disabled
     has_ema = (_checkpoint_has_ema(path, ema_index)
                if ema_index >= 0 else None)
+    def _bridge_ema_mismatch():
+        """Restore against the OPPOSITE ema structure and convert."""
+        if want_ema:  # checkpoint predates EMA / was saved use_ema=False
+            restored = _restore(
+                dataclasses.replace(abstract_state, ema=None))
+            logger.warning(
+                f"checkpoint {path} was saved without an EMA shadow "
+                "(use_ema was off); seeding the EMA from the restored "
+                "trainable params")
+            return dataclasses.replace(
+                restored,
+                ema=jax.tree_util.tree_map(jnp.copy, restored.trainable))
+        restored = _restore(dataclasses.replace(
+            abstract_state, ema=abstract_state.trainable))
+        logger.warning(
+            f"checkpoint {path} contains an EMA shadow but use_ema is off "
+            "for this run; the stored shadow is discarded")
+        return dataclasses.replace(restored, ema=None)
+
+    has_ema = (_checkpoint_has_ema(path, ema_index)
+               if ema_index >= 0 else None)
+    if has_ema is None and ema_index >= 0:
+        # metadata probe inconclusive (e.g. a future orbax version changed
+        # the private _METADATA layout, ADVICE r4): restore optimistically,
+        # and only on failure retry via the ema-presence bridge; if the
+        # bridge fails too, the ORIGINAL error was the real one — raise it
+        try:
+            return _restore(abstract_state)
+        except Exception as first_err:
+            try:
+                return _bridge_ema_mismatch()
+            except Exception:
+                raise first_err
     if has_ema is None or has_ema == want_ema:
         return _restore(abstract_state)
-    if want_ema:  # checkpoint predates EMA / was saved with use_ema=False
-        restored = _restore(dataclasses.replace(abstract_state, ema=None))
-        logger.warning(
-            f"checkpoint {path} was saved without an EMA shadow (use_ema "
-            "was off); seeding the EMA from the restored trainable params")
-        return dataclasses.replace(
-            restored,
-            ema=jax.tree_util.tree_map(jnp.copy, restored.trainable))
-    restored = _restore(dataclasses.replace(
-        abstract_state, ema=abstract_state.trainable))
-    logger.warning(
-        f"checkpoint {path} contains an EMA shadow but use_ema is off for "
-        "this run; the stored shadow is discarded")
-    return dataclasses.replace(restored, ema=None)
+    return _bridge_ema_mismatch()
