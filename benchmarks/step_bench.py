@@ -17,7 +17,8 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
           fused_groupnorm: bool = False, latent_hw=(32, 32),
           lora_branch: bool = True, batch: int = 1,
           text_lora: bool = False, split: bool = False,
-          use_ema: bool = False, skip_nonfinite: int = 0):
+          use_ema: bool = False, skip_nonfinite: int = 0,
+          lora_version: str = "cloneofsimo"):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -53,13 +54,18 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         lambda r: clip.init(r, jnp.zeros((1, 77), jnp.int32))["params"],
         rng))
 
-    handler = LoraHandler(version="cloneofsimo", use_unet_lora=True,
+    # stable_lora mirrors its shipped preset (stable_lora_config.yaml):
+    # rank 32, Transformer2DModel + ResnetBlock2D
+    unet_targets = (["Transformer2DModel", "ResnetBlock2D"]
+                    if lora_version == "stable_lora"
+                    else ["Transformer2DModel", "TransformerTemporalModel",
+                          "ResnetBlock2D"])
+    lora_rank = 32 if lora_version == "stable_lora" else 16
+    handler = LoraHandler(version=lora_version, use_unet_lora=True,
                           use_text_lora=text_lora,
-                          unet_replace_modules=["Transformer2DModel",
-                                                "TransformerTemporalModel",
-                                                "ResnetBlock2D"])
+                          unet_replace_modules=unet_targets)
     unet_lora, unet_sites, _ = handler.add_lora_to_model(
-        True, "unet", ucfg, r=16, rng=rng)
+        True, "unet", ucfg, r=lora_rank, rng=rng)
 
     trainable = {"unet_lora": unet_lora}
     text_sites = ()
@@ -67,7 +73,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         # the reference's hybrid config (lora_training_config.yaml): text
         # LoRA makes pass 1 the cheap frame-1 trainable-text pass
         t_lora, text_sites, _ = handler.add_lora_to_model(
-            True, "text_encoder", CLIP_MS_TEXT_CONFIG, r=16, rng=rng)
+            True, "text_encoder", CLIP_MS_TEXT_CONFIG, r=lora_rank, rng=rng)
         trainable["text_lora"] = t_lora
     # frozen params in bf16 (reference casts frozen models to half,
     # train.py:680-686): halves their HBM read traffic per UNet pass
@@ -85,7 +91,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         unet=unet, text_encoder=clip, vae=None,
         scheduler=DDPMScheduler(SchedulerConfig()),
         unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
-        lora_version="cloneofsimo",
+        lora_version=lora_version,
         lora_branch=lora_branch,
         cache_latents=True, use_offset_noise=False, two_pass=two_pass,
         ema_decay=0.9999 if use_ema else 0.0, ema_every=1)
@@ -148,6 +154,27 @@ def main():
               remat_policy="conv_attn_dense+skiplow3")),
         ("overlay-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", lora_branch=False,
+              remat_policy="conv_attn_dense+skiplow3")),
+        # stable_lora (loralib) at its preset geometry (rank 32,
+        # Transformer2DModel+ResnetBlock2D): branch form
+        # (_stable_conv_branch masked-kernel factorization) vs the merged
+        # overlay -- the round-4 verdict's unmeasured A/B
+        ("stable-branch-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", lora_version="stable_lora",
+              lora_branch=True, remat_policy="conv_attn_dense+skiplow3")),
+        ("stable-overlay-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", lora_version="stable_lora",
+              lora_branch=False, remat_policy="conv_attn_dense+skiplow3")),
+        # per-chip batch scaling at the headline LoRA workload (VERDICT r4
+        # ask #4): per-SAMPLE throughput vs batch
+        ("batch2-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=2,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch4-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=4,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch8-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=8,
               remat_policy="conv_attn_dense+skiplow3")),
         # fused GN stacked on the winning policy: GN stat passes are 23
         # ms/step at 463 GB/s in the trace -- the one-pass kernel removes

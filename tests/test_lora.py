@@ -130,6 +130,106 @@ def test_branch_collection_matches_overlay_full_model(unet_setup, rng):
                                        atol=5e-4, rtol=5e-3)
 
 
+def test_stable_branch_collection_matches_overlay_full_model(unet_setup,
+                                                             rng):
+    """loralib (stable_lora) branch execution must match the merged
+    overlay through the FULL tiny UNet -- loss AND gradients wrt the lora
+    tree, for linear + conv2d + conv3d sites, with and without dropout.
+
+    The conv equivalence is the load-bearing claim: the masked-kernel
+    factorization (models/lora_layers.py::_stable_conv_branch) must equal
+    the merged `(B @ A).view(W.shape) * scaling` delta (reference
+    stable_lora/lora.py:190-197), including the Conv3d mean-over-k view."""
+    from text_to_video_finetuning_tpu.lora.overlay import (
+        prepare_branch_collection)
+    cfg, unet, params, sample, text = unet_setup
+    sites = select_sites(
+        enumerate_unet_sites(cfg),
+        ["ResnetBlock2D", "TemporalConvLayer", "CrossAttention"])
+    assert {s.kind for s in sites} == {"linear", "conv2d", "conv3d"}
+    k1, k2, k3, kd = jax.random.split(rng, 4)
+    lora = init_lora_params(k1, sites, rank=4, version="stable_lora")
+    leaves, treedef = jax.tree_util.tree_flatten(lora)
+    keys = jax.random.split(k1, len(leaves))
+    lora = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) * 0.05
+                  for k, l in zip(keys, leaves)])
+    sample_r = jax.random.normal(k2, sample.shape)
+    text_r = jax.random.normal(k3, text.shape)
+    alpha_over_r = 0.5   # exercise the loralib alpha/r scaling too
+
+    for drop_rng, rate in ((None, 0.0), (kd, 0.3)):
+        def loss_overlay(l):
+            eff = apply_lora(params, l, sites, "stable_lora",
+                             alpha_over_r=alpha_over_r,
+                             dropout_rng=drop_rng, dropout_rate=rate)
+            out = unet.apply({"params": eff}, sample_r, jnp.array([1]),
+                             text_r)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_branch(l):
+            col = prepare_branch_collection(l, sites, dropout_rng=drop_rng,
+                                            dropout_rate=rate,
+                                            version="stable_lora",
+                                            alpha_over_r=alpha_over_r)
+            out = unet.apply({"params": params, "lora": col}, sample_r,
+                             jnp.array([1]), text_r)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        la, ga = jax.value_and_grad(loss_overlay)(lora)
+        lb, gb = jax.value_and_grad(loss_branch)(lora)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-3)
+
+
+def test_stable_branch_text_encoder_with_embedding_fold(rng):
+    """stable_lora text-encoder branch mode: linear sites run as branches,
+    EMBEDDING sites (loralib CLIPTextEmbeddings, no branch layer) are
+    folded via apply_lora(only_kinds={'embedding'}) -- together they must
+    reproduce the full merged overlay, values and grads."""
+    from text_to_video_finetuning_tpu.lora.overlay import (
+        prepare_branch_collection)
+    from text_to_video_finetuning_tpu.models import CLIPTextModel
+
+    cfg = tiny_clip_config()
+    clip = CLIPTextModel(config=cfg)
+    ids = jnp.array([[3, 5, 7, 2] + [0] * 73], jnp.int32)
+    params = jax.jit(clip.init)(rng, ids)["params"]
+    from text_to_video_finetuning_tpu.lora.handler import STABLE_SEARCH
+    sites = select_sites(enumerate_text_encoder_sites(cfg),
+                         ["CLIPAttention", "CLIPTextEmbeddings"],
+                         search_classes=STABLE_SEARCH)
+    assert {s.kind for s in sites} == {"linear", "embedding"}
+    lora = init_lora_params(rng, sites, rank=4, version="stable_lora")
+    leaves, treedef = jax.tree_util.tree_flatten(lora)
+    keys = jax.random.split(rng, len(leaves))
+    lora = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) * 0.05
+                  for k, l in zip(keys, leaves)])
+
+    def loss_overlay(l):
+        eff = apply_lora(params, l, sites, "stable_lora")
+        return jnp.sum(clip.apply({"params": eff}, ids) ** 2)
+
+    def loss_branch(l):
+        eff = apply_lora(params, l, sites, "stable_lora",
+                         only_kinds=frozenset({"embedding"}))
+        col = prepare_branch_collection(l, sites, version="stable_lora")
+        return jnp.sum(clip.apply({"params": eff, "lora": col}, ids) ** 2)
+
+    la, ga = jax.value_and_grad(loss_overlay)(lora)
+    lb, gb = jax.value_and_grad(loss_branch)(lora)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)
+
+
 def test_zero_init_is_identity(unet_setup, rng):
     cfg, unet, params, sample, text = unet_setup
     for version in ("cloneofsimo", "stable_lora"):

@@ -71,6 +71,96 @@ def test_lora_training_and_sidecar_files(tiny_pipeline_dir, tiny_video,
     assert len(loras) == 2, loras  # unet + text encoder
 
 
+def test_stable_lora_training_engine_e2e(tiny_pipeline_dir, tiny_video,
+                                         tmp_path):
+    """stable_lora (loralib) trains through the full engine on the branch
+    path (train_step.py _effective_params; the conv branch is
+    models/lora_layers.py::_stable_conv_branch) and writes its sidecar
+    files, including the webui safetensors export."""
+    from text_to_video_finetuning_tpu.training.engine import main
+    out_dir = main(**_base_config(
+        tiny_pipeline_dir, tiny_video, tmp_path,
+        trainable_modules=None,
+        use_unet_lora=True, use_text_lora=True, train_text_encoder=False,
+        lora_version="stable_lora", lora_rank=4,
+        unet_lora_modules=("Transformer2DModel", "ResnetBlock2D"),
+        text_encoder_lora_modules=("CLIPAttention",),
+        save_lora_for_webui=True))
+    full = glob.glob(os.path.join(out_dir, "lora", "full_weights",
+                                  "*.safetensors"))
+    assert len(full) == 2, full  # _unet + _text_encoder
+    webui = glob.glob(os.path.join(out_dir, "lora", "webui_*.safetensors"))
+    assert webui, os.listdir(os.path.join(out_dir, "lora"))
+
+
+def test_stable_lora_branch_trajectory_matches_overlay(tiny_pipeline_dir):
+    """Whole-step equivalence for stable_lora: N fused train steps with
+    lora_branch=True vs False from identical inits produce the same
+    parameter trajectory (the branch is a pure execution-form change)."""
+    from text_to_video_finetuning_tpu.training.engine import (
+        load_primary_models)
+    from text_to_video_finetuning_tpu.models import (AutoencoderKL,
+                                                     CLIPTextModel,
+                                                     UNet3DConditionModel)
+    from text_to_video_finetuning_tpu.schedulers.ddpm import DDPMScheduler
+    from text_to_video_finetuning_tpu.training import (TrainState,
+                                                       TrainStepConfig,
+                                                       make_train_step)
+    from text_to_video_finetuning_tpu.training.optim import (get_lr_schedule,
+                                                             get_optimizer)
+    from text_to_video_finetuning_tpu.lora.handler import LoraHandler
+
+    (sched_cfg, _, (ccfg, text_params), (vcfg, vae_params),
+     (ucfg, unet_params)) = load_primary_models(tiny_pipeline_dir)
+    unet = UNet3DConditionModel(config=ucfg)
+    clip = CLIPTextModel(config=ccfg)
+    vae = AutoencoderKL(config=vcfg)
+
+    handler = LoraHandler(version="stable_lora", use_unet_lora=True,
+                          unet_replace_modules=["Transformer2DModel",
+                                                "ResnetBlock2D"])
+    rng = jax.random.PRNGKey(3)
+    lora, sites, _ = handler.add_lora_to_model(True, "unet", ucfg, r=4,
+                                               rng=rng)
+    # nonzero 'up' so conv branches contribute from step 1
+    leaves, treedef = jax.tree_util.tree_flatten(lora)
+    keys = jax.random.split(rng, len(leaves))
+    lora = jax.tree_util.tree_unflatten(
+        treedef, [jax.random.normal(k, l.shape) * 0.02
+                  for k, l in zip(keys, leaves)])
+
+    frozen = {"unet": unet_params, "text": text_params}
+    batch = {
+        "pixel_values": jax.random.uniform(rng, (1, 4, 2, 8, 8),
+                                           minval=-1, maxval=1),
+        "prompt_ids": jnp.ones((1, 77), jnp.int32),
+    }
+
+    finals = []
+    for branch in (True, False):
+        optimizer = get_optimizer(get_lr_schedule("constant", 1e-3, 0, 50),
+                                  max_grad_norm=1.0)
+        cfg = TrainStepConfig(
+            unet=unet, text_encoder=clip, vae=vae,
+            scheduler=DDPMScheduler(sched_cfg), cache_latents=True,
+            unet_sites=tuple(sites), lora_version="stable_lora",
+            lora_branch=branch, eval_train=True)
+        step = jax.jit(make_train_step(cfg, optimizer))
+        trainable = {"unet_lora": lora}
+        state = TrainState(step=jnp.zeros((), jnp.int32),
+                           trainable=trainable,
+                           opt_state=optimizer.init(trainable),
+                           rng=jax.random.PRNGKey(11))
+        for _ in range(3):
+            state, metrics = step(state, frozen, vae_params, batch)
+            assert np.isfinite(float(metrics["loss"]))
+        finals.append(state.trainable)
+    for a, b in zip(jax.tree_util.tree_leaves(finals[0]),
+                    jax.tree_util.tree_leaves(finals[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
 def test_cached_latents_path(tiny_pipeline_dir, tiny_video, tmp_path):
     from text_to_video_finetuning_tpu.training.engine import main
     out_dir = main(**_base_config(

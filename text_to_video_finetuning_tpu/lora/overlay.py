@@ -147,15 +147,20 @@ def _masked_down(down, key, rate: float):
 
 def prepare_branch_collection(lora_params: Dict, sites: Sequence[LoraSite],
                               scale: float = 1.0, dropout_rng=None,
-                              dropout_rate: float = 0.0) -> Dict:
+                              dropout_rate: float = 0.0,
+                              version: str = "cloneofsimo",
+                              alpha_over_r: float = 1.0) -> Dict:
     """Fold scale/dropout into the lora tree for the BRANCH execution path
     (models/lora_layers.py): the returned tree is passed to `model.apply`
     as the "lora" variable collection, where each LoraDense/LoraConv reads
     {'down','up'} at its own scope and computes base(x) + up(down(x)).
 
-    cloneofsimo only -- loralib's conv flavor is defined as a merged
-    forward (reference stable_lora/lora.py:190-197) and must use
-    apply_lora."""
+    Both flavors: cloneofsimo uses `scale`; stable_lora (loralib) uses
+    `alpha_over_r`, matching apply_lora's merged semantics.  stable_lora
+    EMBEDDING sites have no branch layer (nn.Embed) and are left untouched
+    in the returned collection (unread by the model) -- the caller folds
+    them into params via apply_lora(only_kinds={"embedding"})."""
+    eff_scale = scale if version == "cloneofsimo" else alpha_over_r
     flat = dict(flatten_dict(lora_params))
     drop_keys = None
     if dropout_rng is not None and dropout_rate > 0.0:
@@ -165,21 +170,28 @@ def prepare_branch_collection(lora_params: Dict, sites: Sequence[LoraSite],
         uk = site.flax_path + ("up",)
         if dk not in flat:
             continue
+        if site.kind == "embedding":
+            continue  # folded by the caller; see docstring
         assert site.kind in ("linear", "conv2d", "conv3d"), (
             f"branch LoRA has no {site.kind} path; use apply_lora")
         if drop_keys is not None:
             flat[dk] = _masked_down(flat[dk], drop_keys[i], dropout_rate)
-        if scale != 1.0:
-            flat[uk] = flat[uk] * scale
+        if eff_scale != 1.0:
+            flat[uk] = flat[uk] * eff_scale
     return unflatten_dict(flat)
 
 
 def apply_lora(params: Dict, lora_params: Optional[Dict],
                sites: Sequence[LoraSite], version: str = "cloneofsimo",
                scale: float = 1.0, alpha_over_r: float = 1.0,
-               dropout_rng=None, dropout_rate: float = 0.0) -> Dict:
+               dropout_rng=None, dropout_rate: float = 0.0,
+               only_kinds: Optional[frozenset] = None) -> Dict:
     """Return params with LoRA deltas folded in. Jit-friendly; gradients
-    flow through to the lora leaves."""
+    flow through to the lora leaves.
+
+    `only_kinds` restricts folding to the named site kinds while keeping
+    per-site dropout rng draws indexed by position in `sites` (used by the
+    branch path to fold ONLY the embedding sites the branch can't run)."""
     if lora_params is None:
         return params
     flat = dict(flatten_dict(params))
@@ -188,6 +200,8 @@ def apply_lora(params: Dict, lora_params: Optional[Dict],
     if dropout_rng is not None and dropout_rate > 0.0:
         drop_keys = jax.random.split(dropout_rng, max(len(sites), 1))
     for i, site in enumerate(sites):
+        if only_kinds is not None and site.kind not in only_kinds:
+            continue
         dk = site.flax_path + ("down",)
         uk = site.flax_path + ("up",)
         if dk not in lora_flat:

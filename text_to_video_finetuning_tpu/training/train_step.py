@@ -89,23 +89,35 @@ class TrainStepConfig:
     # text path IS trainable the second (frame-1, trainable-text) pass is
     # load-bearing and always runs.
     two_pass: bool = True
-    # Run cloneofsimo LoRA in the reference's BRANCH form
-    # (base(x) + up(down(x)), reference utils/lora.py:57-62) through the
-    # "lora" variable collection (models/lora_layers.py) instead of folding
-    # merged weights: keeps base kernels non-differentiated, so the
-    # backward never materializes full dW weight-grad convolutions for
-    # LoRA'd convs -- a large HBM-byte/FLOP win (benchmarks/RESULTS.md).
-    # stable_lora always uses the merged overlay (loralib conv semantics).
+    # Run LoRA in BRANCH form (base(x) + up(down(x)), reference
+    # utils/lora.py:57-62) through the "lora" variable collection
+    # (models/lora_layers.py) instead of folding merged weights: keeps
+    # base kernels non-differentiated, so the backward never materializes
+    # full dW weight-grad convolutions for LoRA'd convs -- a large
+    # HBM-byte/FLOP win (benchmarks/RESULTS.md).  Applies to BOTH flavors:
+    # loralib's merged conv definition factors exactly into a branch
+    # (models/lora_layers.py::_stable_conv_branch); its embedding sites
+    # are folded (see _effective_params).
     lora_branch: bool = True
 
 
 def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
                       train: bool):
     """Merge trainable/frozen subtrees and prepare LoRA: either the branch
-    collections (cloneofsimo + lora_branch, models/lora_layers.py) or
+    collections (lora_branch, models/lora_layers.py -- both flavors) or
     merged-weight overlays.  Returns (unet_params, text_params,
-    unet_lora_col, text_lora_col) with cols None when not in branch mode."""
-    branch = cfg.lora_branch and cfg.lora_version == "cloneofsimo"
+    unet_lora_col, text_lora_col) with cols None when not in branch mode.
+
+    stable_lora embedding sites (loralib CLIPTextEmbeddings LoRA) have no
+    branch layer; in branch mode they are folded into text_params via
+    apply_lora(only_kinds={"embedding"}).  Their deltas are (V, D) adds
+    whose backward is the embedding grad buffer the step materializes
+    anyway -- no dW convolution is involved, so nothing is lost.  Branch
+    weight-dropout is not applied to those folded embedding sites (the
+    reference applies loralib dropout on branch activations per site;
+    this overlay approximates it on down-matrices -- see lora/overlay.py)."""
+    branch = cfg.lora_branch and cfg.lora_version in ("cloneofsimo",
+                                                      "stable_lora")
     unet_params = merge(frozen.get("unet", {}), trainable.get("unet", {}))
     unet_col = text_col = None
     if "unet_lora" in trainable:
@@ -116,7 +128,8 @@ def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
             unet_col = prepare_branch_collection(
                 trainable["unet_lora"], cfg.unet_sites,
                 scale=cfg.lora_scale, dropout_rng=drop_rng,
-                dropout_rate=cfg.lora_unet_dropout)
+                dropout_rate=cfg.lora_unet_dropout,
+                version=cfg.lora_version)
         else:
             unet_params = apply_lora(
                 unet_params, trainable["unet_lora"], cfg.unet_sites,
@@ -128,10 +141,16 @@ def _effective_params(cfg: TrainStepConfig, trainable, frozen, rng,
         if train and cfg.lora_text_dropout > 0:
             rng, drop_rng = jax.random.split(rng)
         if branch:
+            if cfg.lora_version == "stable_lora":
+                text_params = apply_lora(
+                    text_params, trainable["text_lora"], cfg.text_sites,
+                    version="stable_lora",
+                    only_kinds=frozenset({"embedding"}))
             text_col = prepare_branch_collection(
                 trainable["text_lora"], cfg.text_sites,
                 scale=cfg.lora_scale, dropout_rng=drop_rng,
-                dropout_rate=cfg.lora_text_dropout)
+                dropout_rate=cfg.lora_text_dropout,
+                version=cfg.lora_version)
         else:
             text_params = apply_lora(
                 text_params, trainable["text_lora"], cfg.text_sites,
