@@ -169,10 +169,15 @@ def generate(pipe: TextToVideoSDPipeline, prompt, negative_prompt=None,
              num_steps: int = 50, guidance_scale: float = 15,
              init_video: Optional[np.ndarray] = None,
              init_weight: float = 0.5, loop: bool = False,
-             seed: Optional[int] = None) -> np.ndarray:
+             seed: Optional[int] = None, block: bool = True) -> np.ndarray:
     """Generation body of reference inference.py:270-333, split from model
     load so a warm pipeline can serve many requests (repeated calls at the
-    same geometry reuse the jit cache).  Returns (B, C, F, H, W) float."""
+    same geometry reuse the jit cache).  Returns (B, C, F, H, W) float.
+
+    `block=False` returns the decoded video still as a DEVICE array: all
+    sampler/decode work is dispatched (async) but no host readback happens.
+    The serving worker uses this to overlap batch N's readback + host tail
+    with batch N+1's device execution (serving/server.py::BatchingWorker)."""
     seed = seed if seed is not None else 0
     rng = jax.random.PRNGKey(seed)
     window_size = window_size or num_frames
@@ -203,7 +208,7 @@ def generate(pipe: TextToVideoSDPipeline, prompt, negative_prompt=None,
         seed=seed)
 
     videos = pipe.decode_latents(latents, batch_size=vae_batch_size)
-    return np.asarray(videos)
+    return np.asarray(videos) if block else videos
 
 
 def inference(model: str, prompt, negative_prompt=None, width: int = 256,

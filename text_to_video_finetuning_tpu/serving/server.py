@@ -125,8 +125,18 @@ class BatchingWorker:
     def __init__(self, run_batch: Callable[[List[GenerationRequest]],
                                            List[np.ndarray]],
                  max_batch: int = 4, batch_window_ms: float = 50.0,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 dispatch_batch: Optional[Callable] = None):
+        # dispatch_batch(requests) -> zero-arg finisher: enqueue the
+        # device work WITHOUT host readback and defer the blocking part to
+        # the finisher.  The loop uses it to double-buffer: batch N+1 is
+        # dispatched before batch N's finisher runs, so N's readback + the
+        # handler-side mp4/base64 tail overlap N+1's device execution.
+        # Without it, run_batch runs synchronously inside the finisher
+        # (identical semantics, no overlap).
         self._run_batch = run_batch
+        self._dispatch_batch = dispatch_batch or (
+            lambda requests: lambda: run_batch(requests))
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, batch_window_ms) / 1e3
         self.max_queue = int(max_queue) if max_queue else None
@@ -219,39 +229,70 @@ class BatchingWorker:
         return batch
 
     def _loop(self):
+        # Two-stage software pipeline: `stage` holds a dispatched batch
+        # whose device work is (possibly) still executing.  Each cycle
+        # dispatches the NEXT batch before finishing the previous one, so
+        # the previous batch's host readback never leaves the device idle.
+        stage = None                       # (batch, finisher, t0)
         while True:
-            item = self._next_pending(timeout=None)
+            item = self._next_pending(timeout=0.0 if stage else None)
             if item is self._stop:
+                if stage:
+                    self._finish_stage(*stage)
                 return
+            if item is None:
+                # queue momentarily empty — drain the in-flight stage
+                # (blocks on the device; new arrivals queue up meanwhile)
+                self._finish_stage(*stage)
+                stage = None
+                continue
             batch = self._gather(item)
             for pending in batch:
                 pending.coalesced = len(batch)
                 pending.head_seed = batch[0].request.seed
             t0 = time.monotonic()
             try:
-                videos = self._run_batch([p.request for p in batch])
-                if len(videos) != len(batch):
-                    raise RuntimeError(
-                        f"run_batch returned {len(videos)} videos for "
-                        f"{len(batch)} requests")
-                for pending, video in zip(batch, videos):
-                    pending.video = video
+                finisher = self._dispatch_batch(
+                    [p.request for p in batch])
             except Exception as exc:  # noqa: BLE001 — reported per request
-                with self._lock:
-                    self.stats["errors"] += len(batch)
-                for pending in batch:
-                    pending.error = f"{type(exc).__name__}: {exc}"
-            finally:
-                dt = time.monotonic() - t0
-                with self._lock:
-                    self.stats["requests"] += len(batch)
-                    self.stats["batches"] += 1
-                    self.stats["max_batch_seen"] = max(
-                        self.stats["max_batch_seen"], len(batch))
-                    self.stats["generate_seconds"] += dt
-                    self._inflight -= len(batch)
-                for pending in batch:
-                    pending.done.set()
+                self._fail_batch(batch, exc, t0)
+                continue
+            if stage:
+                self._finish_stage(*stage)
+            stage = (batch, finisher, t0)
+
+    def _fail_batch(self, batch, exc, t0):
+        for pending in batch:
+            pending.error = f"{type(exc).__name__}: {exc}"
+        with self._lock:
+            self.stats["errors"] += len(batch)
+        self._settle(batch, t0)
+
+    def _finish_stage(self, batch, finisher, t0):
+        try:
+            videos = finisher()
+            if len(videos) != len(batch):
+                raise RuntimeError(
+                    f"run_batch returned {len(videos)} videos for "
+                    f"{len(batch)} requests")
+            for pending, video in zip(batch, videos):
+                pending.video = video
+        except Exception as exc:  # noqa: BLE001 — reported per request
+            self._fail_batch(batch, exc, t0)
+            return
+        self._settle(batch, t0)
+
+    def _settle(self, batch, t0):
+        dt = time.monotonic() - t0
+        with self._lock:
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(batch))
+            self.stats["generate_seconds"] += dt
+            self._inflight -= len(batch)
+        for pending in batch:
+            pending.done.set()
 
 
 def _video_to_uint8(video: np.ndarray) -> np.ndarray:
@@ -292,7 +333,8 @@ class T2VServer:
         self._generate = generate
         self.worker = BatchingWorker(self._run_batch, max_batch=max_batch,
                                      batch_window_ms=batch_window_ms,
-                                     max_queue=max_queue)
+                                     max_queue=max_queue,
+                                     dispatch_batch=self._dispatch_batch)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self.httpd.server_address[:2]
@@ -308,6 +350,19 @@ class T2VServer:
     # -- generation --------------------------------------------------------
 
     def _run_batch(self, requests: List[GenerationRequest]) -> List[np.ndarray]:
+        """Synchronous form (used by warmup); the worker pipelines via
+        _dispatch_batch instead."""
+        return self._dispatch_batch(requests)()
+
+    def _dispatch_batch(self, requests: List[GenerationRequest]):
+        """Enqueue all device work for `requests` (prompt encode, scan
+        sampler, VAE decode) WITHOUT blocking on readback; return a
+        zero-arg finisher that performs the host readback.  JAX dispatch
+        is asynchronous, so by the time the finisher blocks, the next
+        batch's programs can already be queued behind this one — the
+        device never idles across batch boundaries (round-4 verdict #5:
+        `no_batch` reached 82% of the ceiling only via client-concurrency
+        overlap; this makes the overlap deterministic)."""
         head = requests[0]
         prompts = [r.prompt for r in requests]
         negative = ([head.negative_prompt] * len(requests)
@@ -329,8 +384,9 @@ class T2VServer:
             window_size=head.resolved_window(),
             vae_batch_size=head.vae_batch_size, num_steps=head.num_steps,
             guidance_scale=head.guidance_scale, init_video=init_video,
-            init_weight=init_weight, loop=head.loop, seed=seed)
-        return [np.asarray(v) for v in videos]
+            init_weight=init_weight, loop=head.loop, seed=seed,
+            block=False)
+        return lambda: [np.asarray(v) for v in videos]
 
     def warmup(self, request: Optional[GenerationRequest] = None,
                batch_sizes: Sequence[int] = (1,)):
