@@ -184,6 +184,9 @@ def main():
     args = p.parse_args()
 
     from text_to_video_finetuning_tpu.config import load_train_config
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     path, overrides = PRESETS[args.preset]
     cfg = load_train_config(path)
     for k, v in overrides.items():

@@ -18,7 +18,7 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
           lora_branch: bool = True, batch: int = 1,
           text_lora: bool = False, split: bool = False,
           use_ema: bool = False, skip_nonfinite: int = 0,
-          lora_version: str = "cloneofsimo"):
+          lora_version: str = "cloneofsimo", raw_latents: bool = False):
     from text_to_video_finetuning_tpu.lora.handler import LoraHandler
     from text_to_video_finetuning_tpu.models import (
         CLIPTextModel, UNET3D_MS_1_7B_CONFIG, UNet3DConditionModel,
@@ -87,21 +87,42 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
         import optax
         optimizer = optax.apply_if_finite(
             optimizer, max_consecutive_errors=skip_nonfinite)
+    vae = None
+    vae_params = None
+    if raw_latents:
+        # cache_latents=False: the reference's #2 device hot loop, the
+        # in-step per-frame VAE encode (train.py:339-347) at full SD-VAE
+        # geometry
+        from text_to_video_finetuning_tpu.models import AutoencoderKL
+        from text_to_video_finetuning_tpu.models.vae import VAE_SD_CONFIG
+        vae = AutoencoderKL(config=VAE_SD_CONFIG, dtype=jnp.bfloat16)
+        vae_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16),
+            zeros_like_shape(jax.eval_shape(
+                lambda r: vae.init(
+                    {"params": r, "gaussian": r},
+                    jnp.zeros((1, 3, lh * 8, lw * 8), jnp.bfloat16)
+                )["params"], rng)))
     step_cfg = TrainStepConfig(
-        unet=unet, text_encoder=clip, vae=None,
+        unet=unet, text_encoder=clip, vae=vae,
         scheduler=DDPMScheduler(SchedulerConfig()),
         unet_sites=tuple(unet_sites), text_sites=tuple(text_sites),
         lora_version=lora_version,
         lora_branch=lora_branch,
-        cache_latents=True, use_offset_noise=False, two_pass=two_pass,
+        cache_latents=not raw_latents, use_offset_noise=False,
+        two_pass=two_pass,
         ema_decay=0.9999 if use_ema else 0.0, ema_every=1)
     state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                        opt_state=optimizer.init(trainable), rng=rng,
                        ema=(jax.tree_util.tree_map(jnp.copy, trainable)
                             if use_ema else None))
+    if raw_latents:
+        pixel_values = jnp.zeros((batch, frames, 3, lh * 8, lw * 8),
+                                 jnp.bfloat16)   # (B, F, C, H, W) raw video
+    else:
+        pixel_values = jnp.zeros((batch, 4, frames, lh, lw), jnp.bfloat16)
     batch_tree = {
-        "pixel_values": jnp.zeros((batch, 4, frames, lh, lw),
-                                  jnp.bfloat16),
+        "pixel_values": pixel_values,
         "prompt_ids": jnp.zeros((batch, 77), jnp.int32),
     }
     if split:
@@ -109,22 +130,25 @@ def build(grad_ckpt: bool, backend: str, frames: int = 16,
     else:
         jit_step = jax.jit(make_train_step(step_cfg, optimizer),
                            donate_argnums=(0,))
-    return jit_step, state, frozen, batch_tree
+    return jit_step, state, frozen, vae_params, batch_tree
 
 
-def run(jit_step, state, frozen, batch_tree, n=8):
+def run(jit_step, state, frozen, vae_params, batch_tree, n=8):
     # float() readback drains the queue; block_until_ready on the tunneled
     # TPU can return before all dispatched steps execute
-    state, metrics = jit_step(state, frozen, None, batch_tree)
+    state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(n):
-        state, metrics = jit_step(state, frozen, None, batch_tree)
+        state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     float(metrics["loss"])
     return (time.perf_counter() - t0) / n
 
 
 def main():
+    from text_to_video_finetuning_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache)
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--variants", nargs="*", default=None)
     args = p.parse_args()
@@ -175,6 +199,12 @@ def main():
               remat_policy="conv_attn_dense+skiplow3")),
         ("batch8-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", batch=8,
+              remat_policy="conv_attn_dense+skiplow3")),
+        # cache_latents=False: in-step per-frame VAE encode (the
+        # reference's #2 device hot loop, train.py:339-347) at the 256px
+        # headline -- the never-measured raw-video training path
+        ("rawlatents-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", raw_latents=True,
               remat_policy="conv_attn_dense+skiplow3")),
         # fused GN stacked on the winning policy: GN stat passes are 23
         # ms/step at 463 GB/s in the trace -- the one-pass kernel removes
