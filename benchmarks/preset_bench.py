@@ -31,6 +31,10 @@ import jax.numpy as jnp
 
 PRESETS = {
     "train": ("configs/v2/train_config.yaml", {}),
+    # the workload where quantized Adam's HBM saving matters: 468M fp32
+    # trainable -> 3.7 GiB of fp32 moments, peak 14.9/16 GiB
+    "train_8bitadam": ("configs/v2/train_config.yaml",
+                       {"use_8bit_adam": True}),
     "lora": ("configs/v2/lora_training_config.yaml", {}),
     "low_vram": ("configs/v2/low_vram_config_example.yaml", {}),
     "low_vram_fp32adam": ("configs/v2/low_vram_config_example.yaml",
@@ -223,6 +227,29 @@ def main():
             row["peak_gib"] = round(row["peak_bytes_in_use"] / 2**30, 2)
     except Exception as e:  # tunnel backends may not expose stats
         row["memory_stats_error"] = str(e)[:120]
+    if "peak_bytes_in_use" not in row:
+        # the axon tunnel's PJRT plugin does not implement memory_stats;
+        # fall back to the COMPILER's own executable memory analysis
+        # (XLA's figure for argument + output + temp/scratch HBM — the
+        # step's true envelope, since the args hold all params/opt state)
+        try:
+            mem = (jit_step.lower(state, frozen, None, batch_tree)
+                   .compile().memory_analysis())
+            args_b = int(mem.argument_size_in_bytes)
+            out_b = int(mem.output_size_in_bytes)
+            tmp_b = int(mem.temp_size_in_bytes)
+            alias_b = int(getattr(mem, "alias_size_in_bytes", 0))
+            # donated state aliases into the output; aliased bytes are
+            # counted in BOTH args and outputs but occupy HBM once
+            peak = args_b + out_b + tmp_b - alias_b
+            row.update(xla_argument_gib=round(args_b / 2**30, 3),
+                       xla_output_gib=round(out_b / 2**30, 3),
+                       xla_temp_gib=round(tmp_b / 2**30, 3),
+                       xla_alias_gib=round(alias_b / 2**30, 3),
+                       peak_gib=round(peak / 2**30, 2),
+                       peak_source="xla_memory_analysis")
+        except Exception as e:
+            row["memory_analysis_error"] = str(e)[:120]
     print(json.dumps(row))
 
 
