@@ -39,7 +39,7 @@ def main():
         # size crashes the remote compile service, so the split-compile
         # step is used (benchmarks/RESULTS.md hires table); conv_attn+
         # skiplow is the measured-fastest policy that still compiles.
-        jit_step, state, frozen, batch_tree = build(
+        jit_step, state, frozen, vae_params, batch_tree = build(
             grad_ckpt=True, backend="auto", frames=16, latent_hw=(40, 72),
             remat_policy="conv_attn+skiplow", split=True)
     else:
@@ -47,19 +47,19 @@ def main():
         # transformer dense outputs under remat, remat only the
         # highest-resolution UNet level -- measured fastest policy on v5e
         # (benchmarks/RESULTS.md remat-policy table)
-        jit_step, state, frozen, batch_tree = build(
+        jit_step, state, frozen, vae_params, batch_tree = build(
             grad_ckpt=True, backend="auto",
             remat_policy="conv_attn_dense+skiplow3")
 
     # warmup/compile (float() forces a host readback: block_until_ready on
     # the tunneled TPU can return before the queue drains)
-    state, metrics = jit_step(state, frozen, None, batch_tree)
+    state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     float(metrics["loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = jit_step(state, frozen, None, batch_tree)
+        state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     float(metrics["loss"])   # drain the dispatch queue
     dt = time.perf_counter() - t0
 

@@ -151,6 +151,10 @@ def main():
     enable_persistent_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--variants", nargs="*", default=None)
+    p.add_argument("--mem", action="store_true",
+                   help="AOT-compile only and print the XLA memory "
+                        "analysis (peak HBM bound) instead of timing; "
+                        "rides the persistent compile cache")
     args = p.parse_args()
     variants = [
         ("remat+auto", dict(grad_ckpt=True, backend="auto")),
@@ -199,6 +203,32 @@ def main():
               remat_policy="conv_attn_dense+skiplow3")),
         ("batch8-convattndense-skiplow3",
          dict(grad_ckpt=True, backend="auto", batch=8,
+              remat_policy="conv_attn_dense+skiplow3")),
+        # split-compile fallbacks: the fused batch>1 16f graph can exceed
+        # the remote compile helper's memory (same failure mode as
+        # 16f-hires); each split pass is half the scheduling problem
+        ("batch2-split-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=2, split=True,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch4-split-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=4, split=True,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch8-split-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=8, split=True,
+              remat_policy="conv_attn_dense+skiplow3")),
+        # batch scaling at the presets' own 8-frame geometry (safely
+        # inside compile-helper capacity; complements the 16f rows)
+        ("batch2-8f-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=2, frames=8,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch4-8f-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=4, frames=8,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch8-8f-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=8, frames=8,
+              remat_policy="conv_attn_dense+skiplow3")),
+        ("batch1-8f-convattndense-skiplow3",
+         dict(grad_ckpt=True, backend="auto", batch=1, frames=8,
               remat_policy="conv_attn_dense+skiplow3")),
         # cache_latents=False: in-step per-frame VAE encode (the
         # reference's #2 device hot loop, train.py:339-347) at the 256px
@@ -335,11 +365,34 @@ def main():
           f"{jax.devices()[0].device_kind}")
     for name, kw in variants:
         try:
-            t = run(*build(**kw))
-            print({"variant": name, "step_ms": round(t * 1e3, 1),
-                   "steps_per_s": round(1.0 / t, 3)})
+            if args.mem:
+                print({"variant": name, **mem_analysis(*build(**kw))})
+            else:
+                t = run(*build(**kw))
+                print({"variant": name, "step_ms": round(t * 1e3, 1),
+                       "steps_per_s": round(1.0 / t, 3)})
         except Exception as e:
             print({"variant": name, "error": str(e)[:160]})
+
+
+def mem_analysis(jit_step, state, frozen, vae_params, batch_tree):
+    """Peak-HBM bound from XLA's compiled-executable memory analysis
+    (argument + temp + unaliased output; donated state aliases out).
+    Lowers on abstract shapes so nothing executes on the chip."""
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (state, frozen, vae_params, batch_tree))
+    mem = jit_step.lower(*abstract).compile().memory_analysis()
+    args_b = int(mem.argument_size_in_bytes)
+    out_b = int(mem.output_size_in_bytes)
+    tmp_b = int(mem.temp_size_in_bytes)
+    alias_b = int(getattr(mem, "alias_size_in_bytes", 0))
+    return dict(xla_argument_gib=round(args_b / 2**30, 3),
+                xla_output_gib=round(out_b / 2**30, 3),
+                xla_temp_gib=round(tmp_b / 2**30, 3),
+                xla_alias_gib=round(alias_b / 2**30, 3),
+                peak_gib=round((args_b + out_b + tmp_b - alias_b) / 2**30, 2),
+                peak_source="xla_memory_analysis")
 
 
 if __name__ == "__main__":
