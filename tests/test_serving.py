@@ -127,6 +127,41 @@ def test_init_video_requests_run_alone():
         w.shutdown()
 
 
+def test_worker_pipelines_dispatch_ahead_of_readback():
+    """The two-stage pipeline dispatches batch N+1 BEFORE blocking on
+    batch N's finisher — the overlap is deterministic worker behavior,
+    not a client-concurrency accident (round-4 verdict #5)."""
+    order = []
+    second_submitted = threading.Event()
+
+    def dispatch(requests):
+        idx = requests[0].prompt
+        order.append(f"dispatch:{idx}")
+        if idx == "0":
+            # hold the worker inside dispatch(0) until request 1 is
+            # queued, so the loop's zero-timeout poll must see it
+            assert second_submitted.wait(5)
+
+        def finisher():
+            order.append(f"finish:{idx}")
+            return [np.zeros((3, 2, 4, 4), np.float32)]
+
+        return finisher
+
+    w = BatchingWorker(lambda reqs: dispatch(reqs)(), max_batch=1,
+                       batch_window_ms=0, dispatch_batch=dispatch)
+    try:
+        p0 = w.submit(GenerationRequest(prompt="0", no_batch=True))
+        p1 = w.submit(GenerationRequest(prompt="1", no_batch=True))
+        second_submitted.set()
+        _drain(w, [p0, p1])
+        assert order == ["dispatch:0", "dispatch:1", "finish:0", "finish:1"]
+        assert p0.error is None and p1.error is None
+        assert p0.video is not None and p1.video is not None
+    finally:
+        w.shutdown()
+
+
 def test_worker_isolates_errors_per_batch():
     def run_batch(requests):
         if requests[0].prompt == "boom":
