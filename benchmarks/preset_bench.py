@@ -185,6 +185,12 @@ def main():
     p.add_argument("--dry", action="store_true",
                    help="trace/shape-check only (no compile/execute); "
                         "works on CPU")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="ad-hoc config override on top of the preset "
+                        "(VALUE parsed as JSON, else kept as string); "
+                        "e.g. --set gradient_checkpointing=false "
+                        "--set train_batch_size=2")
     args = p.parse_args()
 
     from text_to_video_finetuning_tpu.config import load_train_config
@@ -195,6 +201,17 @@ def main():
     cfg = load_train_config(path)
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    for spec in args.overrides:
+        key, sep, raw = spec.partition("=")
+        if not sep or not key:
+            p.error(f"--set expects KEY=VALUE, got {spec!r}")
+        if not hasattr(cfg, key):
+            p.error(f"--set: unknown config key {key!r}")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw   # bare strings (e.g. remat policies) pass through
+        setattr(cfg, key, val)
 
     dev = jax.devices()[0]
     print(f"backend: {jax.default_backend()} {dev.device_kind}")

@@ -166,6 +166,53 @@ def http_mode(args):
         dt = time.perf_counter() - t0
         results[f"warm_shape_B{b}_s"] = round(dt, 1)
         print(f"warm batch shape B={b}: {dt:.1f}s")
+    if args.closed_loop:
+        # Steady-state: each client re-posts the moment its previous
+        # request returns, for a fixed duration — no wave barrier, so the
+        # worker's two-stage pipeline (dispatch N+1 before N's readback)
+        # is measured rather than inter-wave idle.  Throughput counts
+        # only requests COMPLETED inside the window.
+        for conc in args.concurrency:
+            for no_batch in (False, True):
+                if no_batch and conc == 1:
+                    continue
+                label = (f"loop_conc{conc}"
+                         + ("_no_batch" if no_batch else ""))
+                latencies, done = [], []
+                deadline = time.perf_counter() + args.closed_loop
+                t_all = time.perf_counter()
+
+                def client(i):
+                    n = 0
+                    while time.perf_counter() < deadline:
+                        t = time.perf_counter()
+                        post(dict(sig, prompt=f"loop client {i} req {n}",
+                                  no_batch=no_batch))
+                        latencies.append(time.perf_counter() - t)
+                        n += 1
+                    done.append(n)
+
+                threads = [threading.Thread(target=client, args=(i,))
+                           for i in range(conc)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                wall = time.perf_counter() - t_all
+                total = sum(done)
+                results[label] = {
+                    "mean_latency_s": round(
+                        sum(latencies) / max(1, len(latencies)), 2),
+                    "videos_per_min": round(total / wall * 60.0, 2),
+                    "completed": total,
+                }
+                print(f"{label}: {total} videos in {wall:.1f}s = "
+                      f"{results[label]['videos_per_min']} videos/min, "
+                      f"mean latency {results[label]['mean_latency_s']}s")
+        server.shutdown()
+        print(json.dumps(results))
+        return
+
     waves = 3
     for conc in args.concurrency:
         for no_batch in (False, True):
@@ -222,6 +269,11 @@ def main():
                    help="bench the full HTTP serving path (T2VServer)")
     p.add_argument("--concurrency", type=int, nargs="+", default=[1, 2, 4],
                    help="client concurrency levels for --http")
+    p.add_argument("--closed-loop", type=float, default=0.0, metavar="SECS",
+                   help="with --http: closed-loop steady-state mode — each "
+                        "client re-posts immediately for SECS seconds (no "
+                        "wave barrier), measuring the worker pipeline's "
+                        "sustained videos/min instead of wave throughput")
     args = p.parse_args()
     if args.http:
         http_mode(args)
