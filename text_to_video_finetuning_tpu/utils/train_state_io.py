@@ -150,8 +150,7 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
                      dataclasses.fields(abstract_state)].index("ema")
     except (TypeError, ValueError):
         ema_index = -1  # not a dataclass / no ema field: probe disabled
-    has_ema = (_checkpoint_has_ema(path, ema_index)
-               if ema_index >= 0 else None)
+
     def _bridge_ema_mismatch():
         """Restore against the OPPOSITE ema structure and convert."""
         if want_ema:  # checkpoint predates EMA / was saved use_ema=False
