@@ -71,6 +71,68 @@ def test_worker_coalesces_same_signature_requests():
         w.shutdown()
 
 
+def test_worker_trims_ragged_batch_to_warmed_size():
+    """A gathered batch whose size has no compiled program shrinks to the
+    largest warmed size; the extras lead the next cycle.  Guards against
+    the measured mid-traffic B=3 compile collapse (RESULTS.md round 5)."""
+    calls = []
+    gate = threading.Event()
+
+    def run_batch(requests):
+        gate.wait(timeout=10)
+        calls.append(len(requests))
+        return [np.zeros((3, 2, 4, 4), np.float32) for _ in requests]
+
+    w = BatchingWorker(run_batch, max_batch=8, batch_window_ms=300)
+    try:
+        key = request_batch_key(GenerationRequest(prompt="p"))
+        w.note_warm(key, 1)
+        w.note_warm(key, 2)
+        first = w.submit(GenerationRequest(prompt="p0"))
+        time.sleep(0.05)
+        rest = [w.submit(GenerationRequest(prompt=f"p{i}"))
+                for i in range(1, 3)]
+        gate.set()
+        _drain(w, [first] + rest)
+        # 3 gathered (any split the gather window produced), but every
+        # dispatched size is warmed — never the un-warmed 3
+        assert sum(calls) == 3
+        assert all(c in (1, 2) for c in calls)
+        assert all(p.error is None for p in [first] + rest)
+    finally:
+        w.shutdown()
+
+
+def test_worker_full_batch_dispatches_even_unwarmed():
+    """The steady-state shape (== max_batch) is worth its one-time
+    compile: a full batch is never trimmed, and its size is noted warm."""
+    calls = []
+    gate = threading.Event()
+
+    def run_batch(requests):
+        gate.wait(timeout=10)
+        calls.append(len(requests))
+        return [np.zeros((3, 2, 4, 4), np.float32) for _ in requests]
+
+    w = BatchingWorker(run_batch, max_batch=3, batch_window_ms=300)
+    try:
+        key = request_batch_key(GenerationRequest(prompt="p"))
+        w.note_warm(key, 1)
+        first = w.submit(GenerationRequest(prompt="p0"))
+        time.sleep(0.05)
+        rest = [w.submit(GenerationRequest(prompt=f"p{i}"))
+                for i in range(1, 3)]
+        gate.set()
+        _drain(w, [first] + rest)
+        assert sum(calls) == 3
+        # either the window gathered all 3 (full batch → dispatched as-is)
+        # or it split; a split can only produce warmed sizes (1) or fulls
+        assert all(c in (1, 3) for c in calls)
+        assert 3 in w._warm[key] or calls == [1, 1, 1]
+    finally:
+        w.shutdown()
+
+
 def test_worker_separates_mismatched_signatures():
     calls = []
 

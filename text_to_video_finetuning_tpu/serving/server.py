@@ -126,7 +126,8 @@ class BatchingWorker:
                                            List[np.ndarray]],
                  max_batch: int = 4, batch_window_ms: float = 50.0,
                  max_queue: Optional[int] = None,
-                 dispatch_batch: Optional[Callable] = None):
+                 dispatch_batch: Optional[Callable] = None,
+                 trim_to_warm: bool = True):
         # dispatch_batch(requests) -> zero-arg finisher: enqueue the
         # device work WITHOUT host readback and defer the blocking part to
         # the finisher.  The loop uses it to double-buffer: batch N+1 is
@@ -140,6 +141,20 @@ class BatchingWorker:
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, batch_window_ms) / 1e3
         self.max_queue = int(max_queue) if max_queue else None
+        # (batch key -> set of batch sizes with a compiled program).  The
+        # pipelined loop dispatches batch N+1 before batch N's readback, so
+        # closed-loop clients re-arrive with host-side jitter and gather
+        # into ragged sizes (measured: a B=3 batch forming mid-traffic at
+        # conc 4 cost a ~150 s full-model compile and collapsed throughput
+        # to 6.4 videos/min, RESULTS.md round 5).  When trim_to_warm is on,
+        # a gathered batch whose size has no compiled program is trimmed
+        # down to the largest warmed size; the extras return to the front
+        # of the backlog and lead the next cycle, so no work is dropped and
+        # no new XLA program is compiled.  A FULL batch (== max_batch) is
+        # always dispatched as-is: the steady-state shape is worth its
+        # one-time compile even if warmup missed it.
+        self.trim_to_warm = bool(trim_to_warm)
+        self._warm: dict = {}
         self._queue: "queue.Queue" = queue.Queue()
         self._backlog: List[_Pending] = []      # key-mismatched, FIFO
         self._lock = threading.Lock()
@@ -180,6 +195,14 @@ class BatchingWorker:
     def snapshot(self) -> dict:
         with self._lock:
             return dict(self.stats, queue_depth=self._inflight)
+
+    def note_warm(self, key, size: int):
+        """Record that (signature key, batch size) has a compiled program.
+
+        The worker notes every size it successfully dispatches;
+        T2VServer.warmup() notes the sizes it precompiles (its dispatches
+        bypass the worker loop)."""
+        self._warm.setdefault(key, set()).add(int(size))
 
     def begin_drain(self):
         """Atomically stop accepting new submissions (see submit())."""
@@ -228,6 +251,21 @@ class BatchingWorker:
         self._backlog = skipped + self._backlog
         return batch
 
+    def _trim_to_warm(self, batch: List[_Pending]) -> List[_Pending]:
+        """Avoid mid-traffic compiles: shrink a ragged batch to the largest
+        warmed size (see __init__).  Extras lead the next cycle's backlog.
+        Full batches and never-warmed signatures dispatch as-is."""
+        if not self.trim_to_warm or len(batch) >= self.max_batch:
+            return batch
+        warm = self._warm.get(request_batch_key(batch[0].request))
+        if not warm or len(batch) in warm:
+            return batch
+        fit = max((w for w in warm if w <= len(batch)), default=None)
+        if fit is None:
+            return batch
+        self._backlog = batch[fit:] + self._backlog
+        return batch[:fit]
+
     def _loop(self):
         # Two-stage software pipeline: `stage` holds a dispatched batch
         # whose device work is (possibly) still executing.  Each cycle
@@ -246,7 +284,7 @@ class BatchingWorker:
                 self._finish_stage(*stage)
                 stage = None
                 continue
-            batch = self._gather(item)
+            batch = self._trim_to_warm(self._gather(item))
             for pending in batch:
                 pending.coalesced = len(batch)
                 pending.head_seed = batch[0].request.seed
@@ -257,6 +295,7 @@ class BatchingWorker:
             except Exception as exc:  # noqa: BLE001 — reported per request
                 self._fail_batch(batch, exc, t0)
                 continue
+            self.note_warm(request_batch_key(batch[0].request), len(batch))
             if stage:
                 self._finish_stage(*stage)
             stage = (batch, finisher, t0)
@@ -413,6 +452,7 @@ class T2VServer:
         for b in sorted({min(max(1, int(b)), self.worker.max_batch)
                          for b in batch_sizes}):
             self._run_batch([req] * b)
+            self.worker.note_warm(request_batch_key(req), b)
         return req
 
     # -- HTTP --------------------------------------------------------------
