@@ -208,6 +208,11 @@ def serve_main(argv=None):
     parser.add_argument("--mesh", type=str, default="",
                         help="multi-chip sampling mesh, e.g. 'sp=4' or "
                              "'dp=2,sp=4' (see t2v-inference --mesh)")
+    parser.add_argument("--no-trim-to-warm", action="store_true",
+                        help="allow the worker to dispatch batch sizes "
+                             "with no compiled program (default: trim "
+                             "ragged batches to a warmed size so traffic "
+                             "never waits on a mid-flight XLA compile)")
     args = parser.parse_args(argv)
     if args.max_queue < 0:
         # a negative bound would make `inflight >= max_queue` always true
@@ -228,7 +233,8 @@ def serve_main(argv=None):
         lora_scale=args.lora_scale,
         request_timeout_s=args.request_timeout_s,
         mesh=_mesh_arg(args.mesh),
-        max_queue=args.max_queue or None)
+        max_queue=args.max_queue or None,
+        trim_to_warm=not args.no_trim_to_warm)
     # graceful drain on SIGTERM (the serving side of training's
     # save_on_preemption): finish accepted requests, 503 new ones, exit.
     # Installed BEFORE warmup so a preemption notice arriving during the

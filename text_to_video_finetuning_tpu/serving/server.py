@@ -360,7 +360,8 @@ class T2VServer:
                  batch_window_ms: float = 50.0, use_fused_attention=True,
                  lora_path: str = "", lora_rank: int = 64,
                  lora_scale: float = 1.0, request_timeout_s: float = 3600.0,
-                 pipe=None, mesh=None, max_queue: Optional[int] = None):
+                 pipe=None, mesh=None, max_queue: Optional[int] = None,
+                 trim_to_warm: bool = True):
         from ..pipelines.inference import generate, initialize_pipeline
         self.model = model
         self.output_dir = output_dir
@@ -373,7 +374,8 @@ class T2VServer:
         self.worker = BatchingWorker(self._run_batch, max_batch=max_batch,
                                      batch_window_ms=batch_window_ms,
                                      max_queue=max_queue,
-                                     dispatch_batch=self._dispatch_batch)
+                                     dispatch_batch=self._dispatch_batch,
+                                     trim_to_warm=trim_to_warm)
         self.started_at = time.time()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.host, self.port = self.httpd.server_address[:2]
