@@ -65,6 +65,16 @@ def test_diffuse_windowed_runs_and_unrotates(tiny_pipeline_dir):
 
     assert list(primes_up_to(12)) == [2, 3, 5, 7, 11]
     assert list(primes_up_to(16)) == [2, 3, 5, 7, 11, 13]
+    # small-window boundary: the reference's wheel sieve always prepends
+    # [2, 3], so the shift set is non-empty even at window_size 2
+    # (reference inference.py:150 `np.r_[2, 3, ...]`); an empty set would
+    # crash the rotation schedule with a modulo-by-zero.
+    assert list(primes_up_to(2)) == [2, 3]
+    assert list(primes_up_to(3)) == [2, 3]
+    assert list(primes_up_to(4)) == [2, 3]
+    assert list(primes_up_to(5)) == [2, 3]
+    assert list(primes_up_to(6)) == [2, 3, 5]
+    assert list(primes_up_to(8)) == [2, 3, 5, 7]
 
     pipe = initialize_pipeline(tiny_pipeline_dir, half=False)
     # CLI-reachable validation is a real ValueError, not an assert

@@ -82,14 +82,18 @@ def _scan_windowed_denoise(params, latents, buffer, embeds, gs, ts, coeffs,
 
 
 def primes_up_to(n: int) -> np.ndarray:
-    """Primes strictly below n, as a boolean Eratosthenes sieve.
+    """Primes strictly below max(n, 4), as a boolean Eratosthenes sieve.
 
     Powers the prime-shift rotation schedule for windowed long-video
-    denoising (behavioral parity with reference inference.py:143-150,
-    which produces the same set for the window sizes in use)."""
-    is_prime = np.ones(max(n, 2), dtype=bool)
+    denoising.  Behavioral parity with reference inference.py:143-150:
+    that wheel sieve unconditionally prepends [2, 3], so its result for
+    any n equals the primes below max(n, 4) and is never empty — the
+    rotation schedule must get a non-empty shift set even at
+    window_size 2."""
+    bound = max(n, 4)
+    is_prime = np.ones(bound, dtype=bool)
     is_prime[:2] = False
-    for p in range(2, int(n ** 0.5) + 1):
+    for p in range(2, int(bound ** 0.5) + 1):
         if is_prime[p]:
             is_prime[p * p::p] = False
     return np.nonzero(is_prime)[0]
