@@ -58,7 +58,9 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--workers", type=int, nargs="*", default=[0, 1, 2, 4])
-    p.add_argument("--bucketing", action="store_true", default=True)
+    p.add_argument("--bucketing", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-bucketing A/Bs the bucket-resize cost")
     args = p.parse_args()
 
     from text_to_video_finetuning_tpu.data.datasets import (

@@ -250,21 +250,10 @@ def main():
         # (XLA's figure for argument + output + temp/scratch HBM — the
         # step's true envelope, since the args hold all params/opt state)
         try:
+            from step_bench import mem_dict
             mem = (jit_step.lower(state, frozen, None, batch_tree)
                    .compile().memory_analysis())
-            args_b = int(mem.argument_size_in_bytes)
-            out_b = int(mem.output_size_in_bytes)
-            tmp_b = int(mem.temp_size_in_bytes)
-            alias_b = int(getattr(mem, "alias_size_in_bytes", 0))
-            # donated state aliases into the output; aliased bytes are
-            # counted in BOTH args and outputs but occupy HBM once
-            peak = args_b + out_b + tmp_b - alias_b
-            row.update(xla_argument_gib=round(args_b / 2**30, 3),
-                       xla_output_gib=round(out_b / 2**30, 3),
-                       xla_temp_gib=round(tmp_b / 2**30, 3),
-                       xla_alias_gib=round(alias_b / 2**30, 3),
-                       peak_gib=round(peak / 2**30, 2),
-                       peak_source="xla_memory_analysis")
+            row.update(mem_dict(mem))
         except Exception as e:
             row["memory_analysis_error"] = str(e)[:120]
     print(json.dumps(row))

@@ -88,17 +88,17 @@ def capture_and_summarize():
         os.path.abspath(__file__))))
     from benchmarks.step_bench import build, run
 
-    jit_step, state, frozen, batch_tree = build(
+    jit_step, state, frozen, vae_params, batch_tree = build(
         grad_ckpt=True, backend="auto",
         remat_policy=os.environ.get("T2V_PROFILE_REMAT", "conv_attn+skiplow"))
     # compile + warm
-    state, metrics = jit_step(state, frozen, None, batch_tree)
+    state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     jax.block_until_ready(metrics["loss"])
 
     trace_dir = "/tmp/t2v_step_trace"
     jax.profiler.start_trace(trace_dir)
     for _ in range(3):
-        state, metrics = jit_step(state, frozen, None, batch_tree)
+        state, metrics = jit_step(state, frozen, vae_params, batch_tree)
     jax.block_until_ready(metrics["loss"])
     jax.profiler.stop_trace()
     print(f"trace written to {trace_dir}")

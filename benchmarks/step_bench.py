@@ -10,6 +10,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def build(grad_ckpt: bool, backend: str, frames: int = 16,
@@ -375,24 +376,53 @@ def main():
             print({"variant": name, "error": str(e)[:160]})
 
 
-def mem_analysis(jit_step, state, frozen, vae_params, batch_tree):
-    """Peak-HBM bound from XLA's compiled-executable memory analysis
-    (argument + temp + unaliased output; donated state aliases out).
-    Lowers on abstract shapes so nothing executes on the chip."""
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-        (state, frozen, vae_params, batch_tree))
-    mem = jit_step.lower(*abstract).compile().memory_analysis()
+def mem_dict(mem, extra_resident_bytes: int = 0) -> dict:
+    """XLA memory_analysis -> the peak-HBM accounting dict shared by
+    step_bench and preset_bench (one formula, fixed in one place).
+    Donated state aliases into the output: aliased bytes are counted in
+    BOTH args and outputs but occupy HBM once."""
     args_b = int(mem.argument_size_in_bytes)
     out_b = int(mem.output_size_in_bytes)
     tmp_b = int(mem.temp_size_in_bytes)
     alias_b = int(getattr(mem, "alias_size_in_bytes", 0))
+    peak = args_b + out_b + tmp_b - alias_b + int(extra_resident_bytes)
     return dict(xla_argument_gib=round(args_b / 2**30, 3),
                 xla_output_gib=round(out_b / 2**30, 3),
                 xla_temp_gib=round(tmp_b / 2**30, 3),
                 xla_alias_gib=round(alias_b / 2**30, 3),
-                peak_gib=round((args_b + out_b + tmp_b - alias_b) / 2**30, 2),
+                peak_gib=round(peak / 2**30, 2),
                 peak_source="xla_memory_analysis")
+
+
+def mem_analysis(jit_step, state, frozen, vae_params, batch_tree):
+    """Peak-HBM bound from XLA's compiled-executable memory analysis
+    (argument + temp + unaliased output; donated state aliases out).
+    Lowers on abstract shapes so nothing executes on the chip.
+
+    Split-compile steps (make_split_train_step) have no single program:
+    the peak is bounded by the largest gradient program PLUS one fp32
+    gradient tree (pass 0's grads stay resident while pass 1 executes)."""
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (state, frozen, vae_params, batch_tree))
+    if hasattr(jit_step, "lower"):
+        mem = jit_step.lower(*abstract).compile().memory_analysis()
+        return mem_dict(mem)
+    a_state, a_frozen, a_vae, a_batch = abstract
+    grad_bytes = sum(
+        int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+        for x in jax.tree_util.tree_leaves(a_state.trainable))
+    mems = [prog.lower(a_state.trainable, a_frozen, a_vae, a_batch,
+                       a_state.rng).compile().memory_analysis()
+            for prog in jit_step.grad_programs]
+    worst = max(mems, key=lambda m: (
+        int(m.argument_size_in_bytes) + int(m.output_size_in_bytes)
+        + int(m.temp_size_in_bytes)
+        - int(getattr(m, "alias_size_in_bytes", 0))))
+    out = mem_dict(worst, extra_resident_bytes=grad_bytes)
+    out["peak_source"] = "xla_memory_analysis (split: max grad program " \
+                         "+ one resident grad tree)"
+    return out
 
 
 if __name__ == "__main__":

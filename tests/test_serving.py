@@ -224,6 +224,69 @@ def test_worker_pipelines_dispatch_ahead_of_readback():
         w.shutdown()
 
 
+def test_worker_finishes_stage_before_unwarmed_dispatch():
+    """A dispatch that will COMPILE (its (signature, size) is not warm)
+    must not hold the staged batch's finished videos hostage: the worker
+    finishes the stage first, then dispatches.  Guards the
+    finished-work-behind-a-150s-compile hazard (round-5 review)."""
+    order = []
+    second_submitted = threading.Event()
+
+    def dispatch(requests):
+        idx = requests[0].prompt
+        order.append(f"dispatch:{idx}")
+        if idx == "0":
+            assert second_submitted.wait(5)
+
+        def finisher():
+            order.append(f"finish:{idx}")
+            return [np.zeros((3, 2, 4, 4), np.float32)]
+
+        return finisher
+
+    w = BatchingWorker(lambda reqs: dispatch(reqs)(), max_batch=1,
+                       batch_window_ms=0, dispatch_batch=dispatch)
+    try:
+        p0 = w.submit(GenerationRequest(prompt="0", no_batch=True))
+        # DIFFERENT signature -> (key, 1) is unwarmed when it dispatches
+        p1 = w.submit(GenerationRequest(prompt="1", no_batch=True,
+                                        num_frames=8))
+        second_submitted.set()
+        _drain(w, [p0, p1])
+        # the unwarmed dispatch:1 happens AFTER finish:0 released batch 0
+        # (contrast test_worker_pipelines_dispatch_ahead_of_readback, where
+        # matching signatures keep the dispatch-ahead overlap)
+        assert order == ["dispatch:0", "finish:0", "dispatch:1", "finish:1"]
+        assert p0.error is None and p1.error is None
+    finally:
+        w.shutdown()
+
+
+def test_worker_default_wrapper_warms_only_on_success():
+    """A worker built without dispatch_batch runs synchronously; a batch
+    size is recorded as warm (trim target) only after run_batch SUCCEEDS —
+    a failed batch must not teach trim_to_warm a size that never compiled
+    (round-5 review)."""
+    def run_batch(requests):
+        if requests[0].prompt == "boom":
+            raise RuntimeError("kaput")
+        return [np.zeros((3, 2, 4, 4), np.float32) for _ in requests]
+
+    w = BatchingWorker(run_batch, max_batch=4, batch_window_ms=0)
+    try:
+        key = request_batch_key(GenerationRequest(prompt="boom"))
+        bad = w.submit(GenerationRequest(prompt="boom"))
+        _drain(w, [bad])
+        assert bad.error and "kaput" in bad.error
+        assert 1 not in w._warm.get(key, set())
+        good = w.submit(GenerationRequest(prompt="fine"))
+        _drain(w, [good])
+        assert good.error is None
+        assert 1 in w._warm.get(key, set())
+    finally:
+        w.shutdown()
+
+
 def test_worker_isolates_errors_per_batch():
     def run_batch(requests):
         if requests[0].prompt == "boom":

@@ -257,7 +257,7 @@ def serve_main(argv=None):
         import time as _time
 
         from text_to_video_finetuning_tpu.serving.server import (
-            GenerationRequest, ServerOverloaded)
+            GenerationRequest)
         print("Warming up the sampler (first TPU compile is slow; the "
               "persistent compile cache makes restarts fast)...")
         req = GenerationRequest(
@@ -269,13 +269,13 @@ def serve_main(argv=None):
         # (and pay a full sample for) batch 4 twice
         for b in sorted({min(max(1, b), server.worker.max_batch)
                          for b in args.warmup_batch_sizes}):
+            # warmup() calls _run_batch directly (never queued, so it
+            # cannot be drain-rejected); an in-flight warmup sample always
+            # finishes, and this check skips the REMAINING sizes on SIGTERM
             if drain_requested.is_set():
                 break
             t0 = _time.perf_counter()
-            try:
-                server.warmup(req, batch_sizes=[b])
-            except ServerOverloaded:
-                break  # drain began while this warmup was queued
+            server.warmup(req, batch_sizes=[b])
             print(f"Warm at {req.width}x{req.height}x{req.num_frames}f "
                   f"{req.num_steps} steps, batch {b} "
                   f"({_time.perf_counter() - t0:.1f}s).")

@@ -136,6 +136,7 @@ class BatchingWorker:
         # Without it, run_batch runs synchronously inside the finisher
         # (identical semantics, no overlap).
         self._run_batch = run_batch
+        self._pipelined = dispatch_batch is not None
         self._dispatch_batch = dispatch_batch or (
             lambda requests: lambda: run_batch(requests))
         self.max_batch = max(1, int(max_batch))
@@ -199,10 +200,17 @@ class BatchingWorker:
     def note_warm(self, key, size: int):
         """Record that (signature key, batch size) has a compiled program.
 
-        The worker notes every size it successfully dispatches;
+        A pipelined worker notes a size when its dispatch returns (the jit
+        trace+compile happens synchronously inside the dispatch); the
+        synchronous default wrapper notes it only after run_batch succeeds
+        (its dispatch is a no-op, so returning proves nothing).
         T2VServer.warmup() notes the sizes it precompiles (its dispatches
         bypass the worker loop)."""
         self._warm.setdefault(key, set()).add(int(size))
+
+    def _is_warm(self, key, size: int) -> bool:
+        warm = self._warm.get(key)
+        return bool(warm and size in warm)
 
     def begin_drain(self):
         """Atomically stop accepting new submissions (see submit())."""
@@ -288,6 +296,15 @@ class BatchingWorker:
             for pending in batch:
                 pending.coalesced = len(batch)
                 pending.head_seed = batch[0].request.seed
+            key = request_batch_key(batch[0].request)
+            if stage and not self._is_warm(key, len(batch)):
+                # this dispatch will compile a new XLA program (seconds to
+                # minutes — e.g. the always-dispatched full-batch size or a
+                # never-seen signature): release the staged batch's
+                # finished videos first instead of holding completed work
+                # behind the compile (and past request_timeout_s)
+                self._finish_stage(*stage)
+                stage = None
             t0 = time.monotonic()
             try:
                 finisher = self._dispatch_batch(
@@ -295,7 +312,14 @@ class BatchingWorker:
             except Exception as exc:  # noqa: BLE001 — reported per request
                 self._fail_batch(batch, exc, t0)
                 continue
-            self.note_warm(request_batch_key(batch[0].request), len(batch))
+            if not self._pipelined:
+                # default wrapper: the dispatch was a no-op lambda and the
+                # real run_batch happens in the finisher — run it now
+                # (no overlap to gain) and record warmth only on success
+                if self._finish_stage(batch, finisher, t0):
+                    self.note_warm(key, len(batch))
+                continue
+            self.note_warm(key, len(batch))
             if stage:
                 self._finish_stage(*stage)
             stage = (batch, finisher, t0)
@@ -307,7 +331,8 @@ class BatchingWorker:
             self.stats["errors"] += len(batch)
         self._settle(batch, t0)
 
-    def _finish_stage(self, batch, finisher, t0):
+    def _finish_stage(self, batch, finisher, t0) -> bool:
+        """Run the finisher and settle the batch; True iff it succeeded."""
         try:
             videos = finisher()
             if len(videos) != len(batch):
@@ -318,8 +343,9 @@ class BatchingWorker:
                 pending.video = video
         except Exception as exc:  # noqa: BLE001 — reported per request
             self._fail_batch(batch, exc, t0)
-            return
+            return False
         self._settle(batch, t0)
+        return True
 
     def _settle(self, batch, t0):
         dt = time.monotonic() - t0

@@ -427,4 +427,9 @@ def make_split_train_step(cfg: TrainStepConfig, optimizer):
                          state.rng).compile()
 
     train_step.aot_lower = aot_lower
+    # the two big programs, exposed for memory analysis (the closure has
+    # no .lower(); benchmarks/step_bench.py::mem_analysis bounds the split
+    # step's peak from these) -- each takes (trainable, frozen, vae_params,
+    # batch, rng)
+    train_step.grad_programs = (jit_grads0, jit_grads1)
     return train_step

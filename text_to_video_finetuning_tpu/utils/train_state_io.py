@@ -131,9 +131,14 @@ def load_train_state(checkpoint_dir: str, abstract_state: Any) -> Any:
     - checkpoint WITH ema, resuming with use_ema=False: the stored shadow
       is dropped (the ema always mirrors the trainable tree, so it restores
       against that structure and is discarded).
-    Every path performs exactly ONE restore, and non-structural failures
-    (corrupt/truncated checkpoints, I/O errors) propagate with their real
-    cause instead of being retried and re-labelled as a settings mismatch.
+    When the metadata probe is CONCLUSIVE, every path performs exactly ONE
+    restore, and non-structural failures (corrupt/truncated checkpoints,
+    I/O errors) propagate with their real cause instead of being retried
+    and re-labelled as a settings mismatch.  When the probe is
+    inconclusive (e.g. a future orbax changed its private _METADATA
+    layout, ADVICE r4), the restore is attempted optimistically and only
+    a failure falls back to one bridge retry; if the bridge also fails,
+    the ORIGINAL error is raised.
     """
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(checkpoint_dir, _STATE_SUBDIR))
