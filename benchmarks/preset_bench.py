@@ -250,6 +250,12 @@ def main():
         # (XLA's figure for argument + output + temp/scratch HBM — the
         # step's true envelope, since the args hold all params/opt state)
         try:
+            # robust to any invocation shape (python -m, cwd elsewhere):
+            # put this file's own directory on sys.path before importing
+            # the sibling module (profile_step.py uses the same pattern)
+            import os as _os
+            import sys as _sys
+            _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
             from step_bench import mem_dict
             mem = (jit_step.lower(state, frozen, None, batch_tree)
                    .compile().memory_analysis())

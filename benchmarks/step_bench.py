@@ -400,18 +400,27 @@ def mem_analysis(jit_step, state, frozen, vae_params, batch_tree):
     Lowers on abstract shapes so nothing executes on the chip.
 
     Split-compile steps (make_split_train_step) have no single program:
-    the peak is bounded by the largest gradient program PLUS one fp32
-    gradient tree (pass 0's grads stay resident while pass 1 executes)."""
+    the peak is bounded by the largest gradient program PLUS everything
+    device-resident that is NOT that program's argument -- one gradient
+    tree (pass 0's grads stay live while pass 1 executes; grad dtypes
+    follow the trainable leaves) and the optimizer state + EMA shadow the
+    deferred apply program will consume.  The fused path counts those in
+    its argument bytes, so this keeps split and fused rows comparable."""
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
         (state, frozen, vae_params, batch_tree))
     if hasattr(jit_step, "lower"):
         mem = jit_step.lower(*abstract).compile().memory_analysis()
         return mem_dict(mem)
+
+    def tree_bytes(tree):
+        return sum(int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
+                   for x in jax.tree_util.tree_leaves(tree))
+
     a_state, a_frozen, a_vae, a_batch = abstract
-    grad_bytes = sum(
-        int(np.prod(x.shape)) * jnp.dtype(x.dtype).itemsize
-        for x in jax.tree_util.tree_leaves(a_state.trainable))
+    resident = tree_bytes(a_state.trainable) + tree_bytes(a_state.opt_state)
+    if getattr(a_state, "ema", None) is not None:
+        resident += tree_bytes(a_state.ema)
     mems = [prog.lower(a_state.trainable, a_frozen, a_vae, a_batch,
                        a_state.rng).compile().memory_analysis()
             for prog in jit_step.grad_programs]
@@ -419,9 +428,9 @@ def mem_analysis(jit_step, state, frozen, vae_params, batch_tree):
         int(m.argument_size_in_bytes) + int(m.output_size_in_bytes)
         + int(m.temp_size_in_bytes)
         - int(getattr(m, "alias_size_in_bytes", 0))))
-    out = mem_dict(worst, extra_resident_bytes=grad_bytes)
+    out = mem_dict(worst, extra_resident_bytes=resident)
     out["peak_source"] = "xla_memory_analysis (split: max grad program " \
-                         "+ one resident grad tree)"
+                         "+ resident grads/opt-state/ema)"
     return out
 
 

@@ -17,7 +17,8 @@ import pytest
 
 from text_to_video_finetuning_tpu.serving import (BatchingWorker,
                                                   GenerationRequest,
-                                                  request_batch_key)
+                                                  request_batch_key,
+                                                  request_compile_key)
 
 
 def _drain(worker, pendings, timeout=30.0):
@@ -85,7 +86,7 @@ def test_worker_trims_ragged_batch_to_warmed_size():
 
     w = BatchingWorker(run_batch, max_batch=8, batch_window_ms=300)
     try:
-        key = request_batch_key(GenerationRequest(prompt="p"))
+        key = request_compile_key(GenerationRequest(prompt="p"))
         w.note_warm(key, 1)
         w.note_warm(key, 2)
         first = w.submit(GenerationRequest(prompt="p0"))
@@ -116,7 +117,7 @@ def test_worker_full_batch_dispatches_even_unwarmed():
 
     w = BatchingWorker(run_batch, max_batch=3, batch_window_ms=300)
     try:
-        key = request_batch_key(GenerationRequest(prompt="p"))
+        key = request_compile_key(GenerationRequest(prompt="p"))
         w.note_warm(key, 1)
         first = w.submit(GenerationRequest(prompt="p0"))
         time.sleep(0.05)
@@ -262,6 +263,43 @@ def test_worker_finishes_stage_before_unwarmed_dispatch():
         w.shutdown()
 
 
+def test_worker_overlap_survives_per_request_negative_prompts():
+    """Warmth is keyed on the COMPILE key: a distinct negative_prompt
+    changes the batch key but not the compiled program, so the
+    dispatch-ahead overlap must persist across such requests instead of
+    settling the stage before every dispatch (round-5 review)."""
+    order = []
+    second_submitted = threading.Event()
+
+    def dispatch(requests):
+        idx = requests[0].prompt
+        order.append(f"dispatch:{idx}")
+        if idx == "0":
+            assert second_submitted.wait(5)
+
+        def finisher():
+            order.append(f"finish:{idx}")
+            return [np.zeros((3, 2, 4, 4), np.float32)]
+
+        return finisher
+
+    w = BatchingWorker(lambda reqs: dispatch(reqs)(), max_batch=1,
+                       batch_window_ms=0, dispatch_batch=dispatch)
+    try:
+        p0 = w.submit(GenerationRequest(prompt="0", no_batch=True,
+                                        negative_prompt="blurry"))
+        p1 = w.submit(GenerationRequest(prompt="1", no_batch=True,
+                                        negative_prompt="grainy"))
+        second_submitted.set()
+        _drain(w, [p0, p1])
+        # same geometry → same compiled program → overlap retained even
+        # though the batch keys differ on negative_prompt
+        assert order == ["dispatch:0", "dispatch:1", "finish:0", "finish:1"]
+        assert p0.error is None and p1.error is None
+    finally:
+        w.shutdown()
+
+
 def test_worker_default_wrapper_warms_only_on_success():
     """A worker built without dispatch_batch runs synchronously; a batch
     size is recorded as warm (trim target) only after run_batch SUCCEEDS —
@@ -274,7 +312,7 @@ def test_worker_default_wrapper_warms_only_on_success():
 
     w = BatchingWorker(run_batch, max_batch=4, batch_window_ms=0)
     try:
-        key = request_batch_key(GenerationRequest(prompt="boom"))
+        key = request_compile_key(GenerationRequest(prompt="boom"))
         bad = w.submit(GenerationRequest(prompt="boom"))
         _drain(w, [bad])
         assert bad.error and "kaput" in bad.error

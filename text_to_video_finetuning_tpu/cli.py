@@ -284,6 +284,13 @@ def serve_main(argv=None):
             server.serve_forever()
     except KeyboardInterrupt:
         pass
+    except OSError:
+        # the SIGTERM drain thread closes the listening socket; if that
+        # lands between the drain check above and serve_forever entering
+        # its accept loop, serve_forever raises on the closed socket —
+        # that IS the graceful-drain exit, not a crash
+        if not drain_requested.is_set():
+            raise
     finally:
         # also runs when serve_forever raises (e.g. socket OSError): close
         # the HTTP socket and join the batching worker so in-flight clients

@@ -9,7 +9,7 @@ program amortizes across callers, which is how a TPU chip should be fed
 """
 
 from .server import (BatchingWorker, GenerationRequest, T2VServer,
-                     request_batch_key)
+                     request_batch_key, request_compile_key)
 
 __all__ = ["BatchingWorker", "GenerationRequest", "T2VServer",
-           "request_batch_key"]
+           "request_batch_key", "request_compile_key"]

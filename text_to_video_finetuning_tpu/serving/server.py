@@ -89,6 +89,19 @@ def request_batch_key(req: GenerationRequest):
             req.runs_alone())
 
 
+def request_compile_key(req: GenerationRequest):
+    """The strictly coarser subset of request_batch_key that selects the
+    COMPILED XLA programs (sampler scan + VAE decode): geometry, window,
+    steps, the traced guidance constant, loop, vae_batch_size.
+    negative_prompt and no_batch affect which requests may share a batch
+    but not which program runs — the warm-program bookkeeping
+    (BatchingWorker._warm) must key on this, or per-request negative
+    prompts would make every batch look unwarmed forever."""
+    return (req.width, req.height, req.num_frames, req.resolved_window(),
+            req.num_steps, float(req.guidance_scale), req.loop,
+            req.vae_batch_size)
+
+
 @dataclass
 class _Pending:
     request: GenerationRequest
@@ -142,7 +155,7 @@ class BatchingWorker:
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, batch_window_ms) / 1e3
         self.max_queue = int(max_queue) if max_queue else None
-        # (batch key -> set of batch sizes with a compiled program).  The
+        # (compile key -> set of batch sizes with a compiled program).  The
         # pipelined loop dispatches batch N+1 before batch N's readback, so
         # closed-loop clients re-arrive with host-side jitter and gather
         # into ragged sizes (measured: a B=3 batch forming mid-traffic at
@@ -198,7 +211,8 @@ class BatchingWorker:
             return dict(self.stats, queue_depth=self._inflight)
 
     def note_warm(self, key, size: int):
-        """Record that (signature key, batch size) has a compiled program.
+        """Record that (compile key, batch size) has a compiled program
+        (key = request_compile_key(req), coarser than the batch key).
 
         A pipelined worker notes a size when its dispatch returns (the jit
         trace+compile happens synchronously inside the dispatch); the
@@ -265,7 +279,7 @@ class BatchingWorker:
         Full batches and never-warmed signatures dispatch as-is."""
         if not self.trim_to_warm or len(batch) >= self.max_batch:
             return batch
-        warm = self._warm.get(request_batch_key(batch[0].request))
+        warm = self._warm.get(request_compile_key(batch[0].request))
         if not warm or len(batch) in warm:
             return batch
         fit = max((w for w in warm if w <= len(batch)), default=None)
@@ -296,7 +310,7 @@ class BatchingWorker:
             for pending in batch:
                 pending.coalesced = len(batch)
                 pending.head_seed = batch[0].request.seed
-            key = request_batch_key(batch[0].request)
+            key = request_compile_key(batch[0].request)
             if stage and not self._is_warm(key, len(batch)):
                 # this dispatch will compile a new XLA program (seconds to
                 # minutes — e.g. the always-dispatched full-batch size or a
@@ -480,7 +494,7 @@ class T2VServer:
         for b in sorted({min(max(1, int(b)), self.worker.max_batch)
                          for b in batch_sizes}):
             self._run_batch([req] * b)
-            self.worker.note_warm(request_batch_key(req), b)
+            self.worker.note_warm(request_compile_key(req), b)
         return req
 
     # -- HTTP --------------------------------------------------------------
